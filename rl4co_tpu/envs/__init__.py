@@ -1,0 +1,24 @@
+"""Environment registry (reference `rl4co/envs/__init__.py:36-82`)."""
+
+from rl4co_tpu.envs.base import Env, Instance  # noqa: F401
+from rl4co_tpu.envs.routing.tsp import TSP
+from rl4co_tpu.envs.routing.cvrp import CVRP
+
+ENV_REGISTRY = {
+    "tsp": TSP,
+    "cvrp": CVRP,
+}
+
+
+def register_env(name: str, cls) -> None:
+    ENV_REGISTRY[name] = cls
+
+
+def get_env(name: str, **kwargs) -> Env:
+    """Instantiate an env by registry name (reference `envs/__init__.py:67-82`)."""
+    cls = ENV_REGISTRY.get(name)
+    if cls is None:
+        raise ValueError(
+            f"Unknown environment '{name}'. Available: {sorted(ENV_REGISTRY)}"
+        )
+    return cls(**kwargs)

@@ -1,0 +1,103 @@
+"""Tensor utilities (TPU-native equivalents of `rl4co/utils/ops.py`).
+
+Because environments in this framework are written per-instance and vmapped,
+most reference ops (`batchify`/`unbatchify` expand-view tricks,
+`rl4co/utils/ops.py:10-51`) reduce to plain reshapes over a leading axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_by_index(src: jax.Array, idx: jax.Array, axis: int = -2) -> jax.Array:
+    """Gather rows of ``src`` along ``axis`` by integer index, squeezing the axis.
+
+    Equivalent of `rl4co/utils/ops.py:54-66` (``gather_by_index``) for the
+    common cases used by the reference:
+
+    - ``src [N, D], idx scalar -> [D]``
+    - ``src [B, N, D], idx [B] -> [B, D]``
+    - ``src [B, N, D], idx [B, K] -> [B, K, D]``
+    """
+    idx = jnp.asarray(idx)
+    if src.ndim == 2 and idx.ndim == 0:
+        return src[idx]
+    if src.ndim == 3 and idx.ndim == 1:
+        return jax.vmap(lambda s, i: s[i])(src, idx)
+    if src.ndim == 3 and idx.ndim == 2:
+        return jax.vmap(lambda s, i: s[i])(src, idx)
+    raise ValueError(f"Unsupported shapes src={src.shape} idx={idx.shape}")
+
+
+def get_distance(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Euclidean distance between points (`rl4co/utils/ops.py:69-79`)."""
+    return jnp.linalg.norm(a - b, axis=-1)
+
+
+def get_tour_length(ordered_locs: jax.Array) -> jax.Array:
+    """Closed-tour length of locations in visiting order, incl. return arc.
+
+    Reference: `rl4co/utils/ops.py:82-91`. Works on ``[N, 2]`` or ``[..., N, 2]``.
+    """
+    diffs = ordered_locs - jnp.roll(ordered_locs, shift=1, axis=-2)
+    return jnp.linalg.norm(diffs, axis=-1).sum(axis=-1)
+
+
+def get_open_tour_length(ordered_locs: jax.Array) -> jax.Array:
+    """Path length of locations in visiting order (no return arc)."""
+    diffs = ordered_locs[..., 1:, :] - ordered_locs[..., :-1, :]
+    return jnp.linalg.norm(diffs, axis=-1).sum(axis=-1)
+
+
+def get_distance_matrix(locs: jax.Array) -> jax.Array:
+    """Pairwise Euclidean distance matrix (`rl4co/utils/ops.py:94-100`)."""
+    diff = locs[..., :, None, :] - locs[..., None, :, :]
+    return jnp.linalg.norm(diff, axis=-1)
+
+
+def batchify(x, repeats: int):
+    """Tile a pytree ``repeats`` times along a new leading sub-axis folded into batch.
+
+    ``[B, ...] -> [B * repeats, ...]`` with layout ``(repeat, batch)`` flattened so
+    that ``unbatchify`` with the same ``repeats`` inverts it. Matches the semantics
+    of `rl4co/utils/ops.py:27-51` (expand+flatten: repeat-major).
+    """
+
+    def _one(a):
+        a = jnp.broadcast_to(a[None], (repeats,) + a.shape)
+        return a.reshape((repeats * a.shape[1],) + a.shape[2:])
+
+    return jax.tree_util.tree_map(_one, x)
+
+
+def unbatchify(x, repeats: int):
+    """Inverse of :func:`batchify`: ``[B*repeats, ...] -> [B, repeats, ...]``.
+
+    Reference `rl4co/utils/ops.py:10-24` returns ``[B, repeats, ...]`` (batch-major
+    view of the repeat-major flattening).
+    """
+
+    def _one(a):
+        b = a.shape[0] // repeats
+        a = a.reshape((repeats, b) + a.shape[1:])
+        return jnp.moveaxis(a, 0, 1)
+
+    return jax.tree_util.tree_map(_one, x)
+
+
+def calculate_entropy(logprobs: jax.Array) -> jax.Array:
+    """Entropy of categorical distributions from log-probabilities over last axis.
+
+    Reference: `rl4co/utils/ops.py:103-111`.
+    """
+    probs = jnp.exp(logprobs)
+    ent = -jnp.sum(jnp.where(probs > 0, probs * logprobs, 0.0), axis=-1)
+    return ent
+
+
+def topk_mask(scores: jax.Array, k: int) -> jax.Array:
+    """Boolean mask keeping the top-k entries along the last axis (static k)."""
+    kth = jnp.sort(scores, axis=-1)[..., -k][..., None]
+    return scores >= kth

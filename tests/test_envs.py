@@ -1,0 +1,92 @@
+"""Env smoke tests: random-policy rollouts + solution validity.
+
+Mirrors the reference test strategy (`tests/test_envs.py:41-64` rolls a
+random policy until done and checks reward shape); adds validity checks and
+fixed-seed reproducibility the reference lacks (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl4co_tpu.envs import get_env
+
+BATCH = 4
+
+
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp"])
+def test_random_rollout(env_name):
+    env = get_env(env_name, num_loc=10)
+    key = jax.random.PRNGKey(0)
+    instances, state, actions, reward = env.rollout_random(key, BATCH)
+    assert reward.shape == (BATCH,)
+    assert bool(state.done.all())
+    assert np.isfinite(np.asarray(reward)).all()
+    # validity per instance
+    for b in range(BATCH):
+        inst_b = jax.tree_util.tree_map(lambda x: x[b], instances)
+        env.check_solution_validity(inst_b, np.asarray(actions)[b])
+
+
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp"])
+def test_rollout_deterministic_given_seed(env_name):
+    env = get_env(env_name, num_loc=8)
+    key = jax.random.PRNGKey(42)
+    _, _, a1, r1 = env.rollout_random(key, BATCH)
+    _, _, a2, r2 = env.rollout_random(key, BATCH)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_tsp_reward_matches_manual():
+    env = get_env("tsp", num_loc=5)
+    key = jax.random.PRNGKey(1)
+    inst = env.generate(key)
+    state = env.reset(inst)
+    actions = jnp.array([2, 0, 4, 1, 3], dtype=jnp.int32)
+    for a in actions:
+        state = env.step(state, a)
+    locs = np.asarray(inst["locs"])
+    order = np.asarray(actions)
+    manual = 0.0
+    for i in range(5):
+        manual += np.linalg.norm(locs[order[i]] - locs[order[(i + 1) % 5]])
+    r = float(env.reward(state, actions))
+    assert abs(-manual - r) < 1e-5
+
+
+def test_cvrp_capacity_respected_in_mask():
+    env = get_env("cvrp", num_loc=6)
+    inst = env.generate(jax.random.PRNGKey(3))
+    state = env.reset(inst)
+    # visit customers until capacity nearly exhausted; mask must exclude
+    # customers whose demand exceeds remaining capacity
+    mask = env.action_mask(state)
+    assert bool(mask[1:].all())  # initially all customers feasible
+    assert not bool(mask[0])  # depot masked at start (current==depot, unserved)
+    demand = np.asarray(inst["demand"])
+    # greedily take largest demands
+    order = list(np.argsort(-demand))
+    used = 0.0
+    for c in order:
+        if used + demand[c] > 1.0 + 1e-5:
+            break
+        state = env.step(state, jnp.int32(c + 1))
+        used += demand[c]
+    mask = np.asarray(env.action_mask(state))
+    for c in range(6):
+        visited = bool(np.asarray(state.visited)[c + 1])
+        exceeds = used + demand[c] > 1.0 + 1e-5
+        assert mask[c + 1] == (not visited and not exceeds)
+
+
+def test_cvrp_absorbing_after_done():
+    env = get_env("cvrp", num_loc=4)
+    key = jax.random.PRNGKey(0)
+    _, state, actions, reward = env.rollout_random(key, 2)
+    # stepping the absorbing action (depot) must not change reward
+    state2 = env.step_batch(state, jnp.zeros((2,), dtype=jnp.int32))
+    actions2 = jnp.concatenate([actions, jnp.zeros((2, 1), jnp.int32)], axis=1)
+    reward2 = env.reward_batch(state2, actions2)
+    np.testing.assert_allclose(np.asarray(reward), np.asarray(reward2), rtol=1e-5)

@@ -1,0 +1,157 @@
+"""Decoding strategies as static specs + pure functions.
+
+TPU-native re-design of `rl4co/utils/decoding.py`: the reference's stateful
+`DecodingStrategy` objects (Python lists of actions/logprobs,
+`decoding.py:191-423`) become a frozen :class:`DecodeSpec` (jit-static) plus
+pure per-step functions; the actions/logprobs buffers become `lax.scan`
+outputs.
+
+`process_logits` reproduces the reference pipeline order exactly
+(`decoding.py:138-188`): tanh clipping → feasibility mask → temperature →
+top-k filter → top-p filter → log-softmax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MASK_VALUE = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeSpec:
+    """Static decoding configuration (hashable: safe as a jit static arg).
+
+    kind: 'greedy' | 'sampling' | 'evaluate' (replay given actions).
+    multistart: POMO-style forced diverse first actions (+ `num_starts`).
+    num_samples: i.i.d. sampling repeats (mutually exclusive with multistart).
+    select_best: reduce the starts/samples axis by max reward at the end.
+    """
+
+    kind: str = "sampling"
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 0.0
+    tanh_clipping: float = 0.0
+    mask_logits: bool = True
+    multistart: bool = False
+    num_starts: int = 0
+    num_samples: int = 0
+    select_best: bool = False
+
+    def __post_init__(self):
+        assert self.kind in ("greedy", "sampling", "evaluate"), self.kind
+        assert not (self.multistart and self.num_samples > 1)
+
+
+def get_decoding_strategy(name: str, **kwargs) -> DecodeSpec:
+    """Name-based factory (reference registry `decoding.py:17-35`)."""
+    table = {
+        "greedy": dict(kind="greedy"),
+        "sampling": dict(kind="sampling"),
+        "multistart_greedy": dict(kind="greedy", multistart=True),
+        "multistart_sampling": dict(kind="sampling", multistart=True),
+        "evaluate": dict(kind="evaluate"),
+    }
+    if name not in table:
+        raise ValueError(f"Unknown decode type {name}. Available: {sorted(table)}")
+    return DecodeSpec(**{**table[name], **kwargs})
+
+
+def modify_logits_for_top_k_filtering(logits: jax.Array, top_k: int) -> jax.Array:
+    """Keep only top-k logits (reference `decoding.py:109-115`)."""
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def modify_logits_for_top_p_filtering(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filtering (reference `decoding.py:117-135`)."""
+    if top_p <= 0.0 or top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    sorted_remove = cum_probs <= (1.0 - top_p)
+    # map the per-rank removal decision back to original positions
+    ranks = jnp.argsort(jnp.argsort(logits, axis=-1), axis=-1)
+    remove = jnp.take_along_axis(sorted_remove, ranks, axis=-1)
+    return jnp.where(remove, -jnp.inf, logits)
+
+
+def process_logits(
+    logits: jax.Array,
+    mask: Optional[jax.Array] = None,
+    temperature: float = 1.0,
+    top_p: float = 0.0,
+    top_k: int = 0,
+    tanh_clipping: float = 0.0,
+    mask_logits: bool = True,
+) -> jax.Array:
+    """Logits → log-probabilities (reference `decoding.py:138-188`)."""
+    if tanh_clipping > 0:
+        logits = jnp.tanh(logits) * tanh_clipping
+    if mask_logits:
+        assert mask is not None
+        logits = jnp.where(mask, logits, MASK_VALUE)
+    logits = logits / temperature
+    if top_k > 0:
+        top_k = min(top_k, logits.shape[-1])
+        logits = modify_logits_for_top_k_filtering(logits, top_k)
+    if top_p > 0:
+        logits = modify_logits_for_top_p_filtering(logits, top_p)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def process_logits_spec(logits: jax.Array, mask: jax.Array, spec: DecodeSpec) -> jax.Array:
+    return process_logits(
+        logits,
+        mask,
+        temperature=spec.temperature,
+        top_p=spec.top_p,
+        top_k=spec.top_k,
+        tanh_clipping=spec.tanh_clipping,
+        mask_logits=spec.mask_logits,
+    )
+
+
+def decode_action(
+    key: jax.Array,
+    logprobs: jax.Array,  # [B, A]
+    mask: jax.Array,      # [B, A]
+    spec: DecodeSpec,
+    replay_action: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Select one action per row and return (action, its logprob).
+
+    greedy → argmax (reference `decoding.py:425-441`); sampling → categorical
+    (`decoding.py:443-462`); evaluate → replay given actions (`Evaluate`).
+    """
+    if spec.kind == "greedy":
+        action = jnp.argmax(logprobs, axis=-1)
+    elif spec.kind == "sampling":
+        action = jax.random.categorical(key, logprobs, axis=-1)
+        # guard against numerically-impossible draws (reference resampling
+        # loop `decoding.py:405-408`): fall back to argmax on masked rows
+        bad = ~jnp.take_along_axis(mask, action[:, None], axis=-1)[:, 0]
+        action = jnp.where(bad, jnp.argmax(logprobs, axis=-1), action)
+    elif spec.kind == "evaluate":
+        assert replay_action is not None
+        action = replay_action
+    else:
+        raise ValueError(spec.kind)
+    action = action.astype(jnp.int32)
+    logprob = jnp.take_along_axis(logprobs, action[:, None], axis=-1)[:, 0]
+    return action, logprob
+
+
+def get_log_likelihood(
+    logprobs: jax.Array,  # [B, T] per-step chosen-action logprobs
+    valid_mask: Optional[jax.Array] = None,  # [B, T] True where step counted
+) -> jax.Array:
+    """Sum step logprobs over valid steps (reference `decoding.py:38-62`)."""
+    if valid_mask is not None:
+        logprobs = jnp.where(valid_mask, logprobs, 0.0)
+    return logprobs.sum(axis=-1)

@@ -1,0 +1,176 @@
+"""Attention building blocks (reference `rl4co/models/nn/attention.py`).
+
+All implementations are batched-matmul formulations that XLA maps directly
+onto the MXU; the single-query pointer step used in autoregressive decoding
+is expressed as ``[B, H, 1, N]`` attention so the whole decode step is a
+handful of large batched GEMMs. A fused Pallas kernel for the masked pointer
+step lives in `rl4co_tpu/ops/` (used for large N).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+MASK_VALUE = -1e9  # large-negative instead of -inf: keeps softmax NaN-free
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,  # [..., H, L, Dh]
+    k: jax.Array,  # [..., H, S, Dh]
+    v: jax.Array,  # [..., H, S, Dh]
+    mask: Optional[jax.Array] = None,  # broadcastable to [..., H, L, S]; True = attend
+) -> jax.Array:
+    """Reference fallback `attention.py:19-61` (`scaled_dot_product_attention_simple`)."""
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+    scores = jnp.einsum("...ld,...sd->...ls", q, k) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, MASK_VALUE)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("...ls,...sd->...ld", weights, v)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[..., S, H*Dh] -> [..., H, S, Dh]"""
+    *lead, s, d = x.shape
+    x = x.reshape(*lead, s, num_heads, d // num_heads)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """[..., H, S, Dh] -> [..., S, H*Dh]"""
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, s, h, dh = x.shape
+    return x.reshape(*lead, s, h * dh)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention MHA (reference `attention.py:64-134`)."""
+
+    embed_dim: int
+    num_heads: int = 8
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        qkv = nn.Dense(3 * self.embed_dim, use_bias=self.use_bias, name="Wqkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.num_heads)
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
+        if mask is not None and mask.ndim == x.ndim - 1:
+            # [B, S] key-padding mask -> [B, 1, 1, S]
+            mask = mask[..., None, None, :]
+        out = scaled_dot_product_attention(q, k, v, mask)
+        out = _merge_heads(out)
+        return nn.Dense(self.embed_dim, use_bias=self.use_bias, name="out_proj")(out)
+
+
+class MultiHeadCrossAttention(nn.Module):
+    """Cross-attention MHA with separate q / kv inputs (reference `attention.py:147-215`).
+
+    Used by MatNet and L2D; no output bias by default, matching reference.
+    """
+
+    embed_dim: int
+    num_heads: int = 8
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        q_input: jax.Array,
+        kv_input: jax.Array,
+        cross_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        q = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="Wq")(q_input)
+        kv = nn.Dense(2 * self.embed_dim, use_bias=self.use_bias, name="Wkv")(kv_input)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = _split_heads(q, self.num_heads)
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
+        if cross_mask is not None and cross_mask.ndim == q_input.ndim - 1:
+            cross_mask = cross_mask[..., None, None, :]
+        out = scaled_dot_product_attention(q, k, v, cross_mask)
+        out = _merge_heads(out)
+        return nn.Dense(self.embed_dim, use_bias=self.use_bias, name="out_proj")(out)
+
+
+def pointer_logits(
+    query: jax.Array,      # [B, D] single-step context query (already projected)
+    glimpse_k: jax.Array,  # [B, N, D]
+    glimpse_v: jax.Array,  # [B, N, D]
+    logit_k: jax.Array,    # [B, N, D]
+    mask: jax.Array,       # [B, N] True = feasible
+    num_heads: int,
+    project_out,           # callable [B, D] -> [B, D]
+    mask_inner: bool = True,
+) -> jax.Array:
+    """Functional core of the AM pointer head (reference `attention.py:274-320`).
+
+    1. masked multi-head glimpse: attend query over glimpse K/V
+    2. project heads -> glimpse vector
+    3. logits = glimpse · logit_k^T / sqrt(D)
+    """
+    b, n, d = glimpse_k.shape
+    q = _split_heads(query[:, None, :], num_heads)       # [B, H, 1, Dh]
+    k = _split_heads(glimpse_k, num_heads)               # [B, H, N, Dh]
+    v = _split_heads(glimpse_v, num_heads)
+    inner_mask = mask[:, None, None, :] if mask_inner else None
+    heads = scaled_dot_product_attention(q, k, v, inner_mask)  # [B, H, 1, Dh]
+    glimpse = project_out(_merge_heads(heads)[:, 0, :])        # [B, D]
+    logits = jnp.einsum("bd,bnd->bn", glimpse, logit_k) / jnp.sqrt(
+        jnp.asarray(d, glimpse.dtype)
+    )
+    return logits
+
+
+class PointerAttention(nn.Module):
+    """AM decoder pointer head (reference `attention.py:218-320`)."""
+
+    embed_dim: int
+    num_heads: int = 8
+    mask_inner: bool = True
+    out_bias: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,
+        glimpse_k: jax.Array,
+        glimpse_v: jax.Array,
+        logit_k: jax.Array,
+        mask: jax.Array,
+    ) -> jax.Array:
+        project_out = nn.Dense(self.embed_dim, use_bias=self.out_bias, name="project_out")
+        return pointer_logits(
+            query, glimpse_k, glimpse_v, logit_k, mask,
+            num_heads=self.num_heads,
+            project_out=project_out,
+            mask_inner=self.mask_inner,
+        )
+
+
+class MultiHeadCompat(nn.Module):
+    """Unprojected per-head compatibility scores (reference `attention.py:399-457`).
+
+    Returns ``[H, B, L, S]`` scores used by MDAM / HAM.
+    """
+
+    embed_dim: int
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, q_input: jax.Array, kv_input: Optional[jax.Array] = None):
+        if kv_input is None:
+            kv_input = q_input
+        q = nn.Dense(self.embed_dim, use_bias=False, name="Wq")(q_input)
+        k = nn.Dense(self.embed_dim, use_bias=False, name="Wk")(kv_input)
+        q = _split_heads(q, self.num_heads)  # [B, H, L, Dh]
+        k = _split_heads(k, self.num_heads)
+        scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+        compat = jnp.einsum("bhld,bhsd->bhls", q, k) * scale
+        return jnp.moveaxis(compat, 1, 0)  # [H, B, L, S]

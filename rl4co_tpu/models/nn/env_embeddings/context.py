@@ -1,0 +1,69 @@
+"""Context (decoder-query) modules per environment.
+
+Reference: registry `rl4co/models/nn/env_embeddings/context.py:9-47` and
+`EnvContext` base (`context.py:50-76`): the decode-step query is
+``project_context(cat(current_node_embedding, state_embedding))``.
+
+Modules here consume ``(node_embs [B, N, D], state)`` where ``state`` is the
+batched env state pytree; all "is it the first step" logic is `jnp.where`
+(traceable inside `lax.scan`), not Python branching.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rl4co_tpu.utils.ops import gather_by_index
+
+
+class TSPContext(nn.Module):
+    """first+current node embeddings; W_placeholder before the first step
+    (reference `context.py:105-135`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        w_placeholder = self.param(
+            "W_placeholder",
+            nn.initializers.uniform(scale=2.0),  # ~U(0,2) shifted below to U(-1,1)
+            (2 * self.embed_dim,),
+        ) - 1.0
+        first = gather_by_index(embeddings, state.first_node)   # [B, D]
+        cur = gather_by_index(embeddings, state.current_node)   # [B, D]
+        ctx = jnp.concatenate([first, cur], axis=-1)            # [B, 2D]
+        is_first = (state.i < 1)[:, None]
+        ctx = jnp.where(is_first, w_placeholder[None, :], ctx)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
+class VRPContext(nn.Module):
+    """current node embedding + remaining capacity (reference `context.py:137-148`)."""
+
+    embed_dim: int
+    vehicle_capacity: float = 1.0
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        remaining = (self.vehicle_capacity - state.used_capacity)[:, None]
+        ctx = jnp.concatenate([cur, remaining], axis=-1)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
+CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
+    "tsp": TSPContext,
+    "cvrp": VRPContext,
+    "sdvrp": VRPContext,
+}
+
+
+def env_context_embedding(env_name: str, embed_dim: int, **kwargs) -> nn.Module:
+    cls = CONTEXT_EMBEDDING_REGISTRY.get(env_name)
+    if cls is None:
+        raise ValueError(
+            f"No context embedding for env '{env_name}'. Available: {sorted(CONTEXT_EMBEDDING_REGISTRY)}"
+        )
+    return cls(embed_dim=embed_dim, **kwargs)

@@ -1,0 +1,69 @@
+"""Initial (node-feature → embedding) modules per environment.
+
+Reference: registry `rl4co/models/nn/env_embeddings/init.py:10-52` and the
+per-env classes below it. Each module maps a **batched instance dict** to
+node embeddings ``[B, N_actions, D]`` (for routing envs with a depot the
+depot is row 0, matching the env's action indexing).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TSPInitEmbedding(nn.Module):
+    """xy coords → embedding (reference `init.py:55-68`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        return nn.Dense(self.embed_dim, name="init_embed")(instance["locs"])
+
+
+class MatNetInitEmbedding(nn.Module):
+    """Row zeros + one-hot-ish column embeddings for matrix problems
+    (reference `init.py:71-112`, mode='RandomOnehot')."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        raise NotImplementedError("Use MatNet encoder path (consumes cost matrix).")
+
+
+class VRPInitEmbedding(nn.Module):
+    """Depot (xy) and customers (xy+demand) embedded separately
+    (reference `init.py:115-141`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        depot = instance["depot"][:, None, :]  # [B, 1, 2]
+        cities = instance["locs"]              # [B, N, 2]
+        demand = instance["demand"][..., None]
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(depot)
+        node_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(
+            jnp.concatenate([cities, demand], axis=-1)
+        )
+        return jnp.concatenate([depot_emb, node_emb], axis=-2)
+
+
+INIT_EMBEDDING_REGISTRY: dict[str, type] = {
+    "tsp": TSPInitEmbedding,
+    "cvrp": VRPInitEmbedding,
+    "sdvrp": VRPInitEmbedding,
+}
+
+
+def env_init_embedding(env_name: str, embed_dim: int, **kwargs) -> nn.Module:
+    cls = INIT_EMBEDDING_REGISTRY.get(env_name)
+    if cls is None:
+        raise ValueError(
+            f"No init embedding for env '{env_name}'. Available: {sorted(INIT_EMBEDDING_REGISTRY)}"
+        )
+    return cls(embed_dim=embed_dim, **kwargs)

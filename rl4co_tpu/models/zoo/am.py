@@ -1,0 +1,99 @@
+"""Attention Model policy (Kool et al. 2019).
+
+TPU-native re-design of `rl4co/models/zoo/am/{policy,encoder,decoder}.py`:
+encoder = init embedding + graph attention stack (`zoo/am/encoder.py:70-87`);
+decoder precomputes glimpse K/V + logit K + graph context once per instance
+(`zoo/am/decoder.py:201-228`), then each decode step is context-embedding →
+pointer attention (`zoo/am/decoder.py:156-193`). The rollout loop itself
+lives in `rl4co_tpu/models/policies/constructive.py` as a `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rl4co_tpu.models.nn.attention import PointerAttention
+from rl4co_tpu.models.nn.env_embeddings import (
+    env_context_embedding,
+    env_dynamic_embedding,
+    env_init_embedding,
+)
+from rl4co_tpu.models.nn.env_embeddings.dynamic import StaticEmbedding
+from rl4co_tpu.models.nn.graph.attnnet import GraphAttentionNetwork
+from rl4co_tpu.models.policies.constructive import ConstructivePolicy, PrecomputedCache
+
+
+class AttentionModelPolicy(ConstructivePolicy):
+    """AM encoder/decoder policy.
+
+    Defaults match the reference (`zoo/am/policy.py:54-73`): embed 128,
+    3 encoder layers, 8 heads, ff 512, batch norm, graph context on.
+    """
+
+    env_name: str = "tsp"
+    embed_dim: int = 128
+    num_encoder_layers: int = 3
+    num_heads: int = 8
+    feedforward_hidden: int = 512
+    normalization: str = "batch"
+    use_graph_context: bool = True
+    mask_inner: bool = True
+    init_embedding_kwargs: Any = None
+    context_embedding_kwargs: Any = None
+
+    def setup(self):
+        self.init_embedding = env_init_embedding(
+            self.env_name, self.embed_dim, **(self.init_embedding_kwargs or {})
+        )
+        self.encoder_net = GraphAttentionNetwork(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            num_layers=self.num_encoder_layers,
+            normalization=self.normalization,
+            feedforward_hidden=self.feedforward_hidden,
+        )
+        self.context_embedding = env_context_embedding(
+            self.env_name, self.embed_dim, **(self.context_embedding_kwargs or {})
+        )
+        self.dynamic_embedding = env_dynamic_embedding(self.env_name, self.embed_dim)
+        self._dynamic_is_static = (
+            self.env_name not in ("sdvrp",)
+        )
+        # Precompute projections (reference `zoo/am/decoder.py:60-72`)
+        self.project_node_embeddings = nn.Dense(3 * self.embed_dim, use_bias=False)
+        self.project_fixed_context = nn.Dense(self.embed_dim, use_bias=False)
+        self.pointer = PointerAttention(
+            self.embed_dim, self.num_heads, mask_inner=self.mask_inner
+        )
+
+    def encode(self, instances) -> jax.Array:
+        h0 = self.init_embedding(instances)
+        return self.encoder_net(h0)
+
+    def precompute(self, embeddings: jax.Array) -> PrecomputedCache:
+        proj = self.project_node_embeddings(embeddings)
+        glimpse_k, glimpse_v, logit_k = jnp.split(proj, 3, axis=-1)
+        if self.use_graph_context:
+            graph_context = self.project_fixed_context(embeddings.mean(axis=-2))
+        else:
+            graph_context = jnp.float32(0.0)
+        return PrecomputedCache(
+            node_embeddings=embeddings,
+            graph_context=graph_context,
+            glimpse_key=glimpse_k,
+            glimpse_val=glimpse_v,
+            logit_key=logit_k,
+        )
+
+    def decode_step(self, cache: PrecomputedCache, state, mask) -> jax.Array:
+        query = self.context_embedding(cache.node_embeddings, state)
+        query = query + cache.graph_context
+        gk, gv, lk = cache.glimpse_key, cache.glimpse_val, cache.logit_key
+        if not self._dynamic_is_static:
+            dk, dv, dl = self.dynamic_embedding(state)
+            gk, gv, lk = gk + dk, gv + dv, lk + dl
+        return self.pointer(query, gk, gv, lk, mask)

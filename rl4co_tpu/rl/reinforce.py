@@ -1,0 +1,170 @@
+"""REINFORCE (reference `rl4co/models/rl/reinforce/reinforce.py:21-208`).
+
+Functional re-design: the Lightning module's `shared_step` becomes a pure
+``loss(params, ...)`` and a jit-compiled ``train_step`` that fuses on-device
+data generation, rollout, loss, and the optimizer update into one XLA
+program (reference generates data in CPU DataLoader workers and runs a
+Python decode loop — `rl/common/base.py:306-316`, §3.2 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rl4co_tpu.decoding import DecodeSpec
+from rl4co_tpu.envs.base import Env
+from rl4co_tpu.models.policies.constructive import (
+    ConstructivePolicy,
+    init_policy_params,
+    rollout,
+)
+from rl4co_tpu.rl.baselines import Baseline, get_reinforce_baseline
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    baseline_state: Any
+    step: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class REINFORCE:
+    """REINFORCE with pluggable baseline.
+
+    Args mirror the reference: policy, baseline name/object, optimizer
+    settings (`configs/experiment/base.yaml:34-48`: Adam lr 1e-4,
+    grad-clip 1.0).
+    """
+
+    env: Env
+    policy: ConstructivePolicy
+    baseline: Baseline | str = "rollout"
+    train_spec: DecodeSpec = DecodeSpec(kind="sampling")
+    val_spec: DecodeSpec = DecodeSpec(kind="greedy")
+    lr: float = 1e-4
+    grad_clip: float = 1.0
+
+    def __post_init__(self):
+        if isinstance(self.baseline, str):
+            object.__setattr__(self, "baseline", get_reinforce_baseline(self.baseline))
+
+    # ---- components ----
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        tx = optax.adam(self.lr)
+        if self.grad_clip and self.grad_clip > 0:
+            tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
+        return tx
+
+    def greedy_reward_fn(self):
+        """(params, instances) -> greedy rewards; used by the rollout baseline
+        (reference `baselines.py:189-198`)."""
+        spec = DecodeSpec(kind="greedy", tanh_clipping=self.train_spec.tanh_clipping)
+        fixed_key = jax.random.PRNGKey(0)  # greedy decode consumes no randomness
+
+        def fn(params, instances):
+            return rollout(
+                self.policy, params, self.env, instances, fixed_key, spec
+            ).reward
+
+        return fn
+
+    # ---- init ----
+
+    def init(self, key: jax.Array) -> TrainState:
+        kp, kb = jax.random.split(key)
+        params = init_policy_params(self.policy, self.env, kp)
+        opt_state = self.make_optimizer().init(params)
+        baseline_state = self.baseline.init_state(kb, params, self.greedy_reward_fn())
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            baseline_state=baseline_state,
+            step=jnp.int32(0),
+        )
+
+    # ---- loss (reference `reinforce.py:71-111` calculate_loss) ----
+
+    def loss(self, params, baseline_state, instances, key):
+        out = rollout(
+            self.policy, params, self.env, instances, key, self.train_spec
+        )
+        bl_val, bl_loss = self.baseline.eval(
+            baseline_state, instances, out.reward, self.greedy_reward_fn()
+        )
+        advantage = out.reward - bl_val
+        reinforce_loss = -(advantage * out.log_likelihood).mean()
+        loss = reinforce_loss + bl_loss
+        metrics = {
+            "loss": loss,
+            "reinforce_loss": reinforce_loss,
+            "bl_loss": bl_loss,
+            "reward": out.reward.mean(),
+            "bl_val": jnp.asarray(bl_val).mean(),
+            "entropy": out.entropy.mean(),
+        }
+        return loss, (metrics, out)
+
+    # ---- train step factory ----
+
+    def make_train_step(self, batch_size: int, mesh=None, donate: bool = True):
+        """Build the jitted train step: generate → rollout → loss → update.
+
+        With ``mesh``, instances are constrained to the ``dp`` axis and params
+        replicated — XLA inserts the psum gradient reduction (the TPU
+        equivalent of DDP all-reduce, SURVEY.md §2.10).
+        """
+        tx = self.make_optimizer()
+
+        def step(state: TrainState, key: jax.Array):
+            kdata, kroll = jax.random.split(jax.random.fold_in(key, state.step))
+            instances = self.env.generate_batch(kdata, batch_size)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                instances = jax.lax.with_sharding_constraint(
+                    instances,
+                    NamedSharding(mesh, P("dp")),
+                )
+            grads, (metrics, out) = jax.grad(self.loss, has_aux=True)(
+                state.params, state.baseline_state, instances, kroll
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            baseline_state = self.baseline.update_step(state.baseline_state, out.reward)
+            new_state = TrainState(
+                params=params,
+                opt_state=opt_state,
+                baseline_state=baseline_state,
+                step=state.step + 1,
+            )
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    # ---- evaluation ----
+
+    def make_eval_step(self, spec: Optional[DecodeSpec] = None):
+        spec = spec or self.val_spec
+
+        def eval_step(params, instances, key):
+            out = rollout(self.policy, params, self.env, instances, key, spec)
+            return {"reward": out.reward.mean(), "max_reward": out.reward.max()}
+
+        return jax.jit(eval_step)
+
+    # ---- epoch-end hook (host side) ----
+
+    def epoch_end(self, state: TrainState, host: dict):
+        bl_state, host = self.baseline.epoch_end(
+            state.baseline_state, state.params, self.greedy_reward_fn(), host
+        )
+        return state.replace(baseline_state=bl_state), host

@@ -2,12 +2,15 @@
 
 Multi-chip sharding paths are validated without TPU hardware via
 ``xla_force_host_platform_device_count`` (SURVEY.md §4 implication).
-Must set flags before jax initializes a backend.
+
+Note: this image's sitecustomize registers the `axon` TPU backend at
+interpreter startup and forces it programmatically, so the JAX_PLATFORMS
+env var alone is not enough — we must override via jax.config before the
+backend initializes (it is lazy).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +21,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, jax.devices()

@@ -1,0 +1,54 @@
+"""Device mesh and sharding utilities.
+
+The TPU-native replacement for the reference's Lightning-DDP data
+parallelism (`rl4co/utils/trainer.py:73-86`; SURVEY.md §2.10): a
+`jax.sharding.Mesh` with a ``dp`` axis over all chips (hosts × devices),
+instances sharded over ``dp``, params replicated; `jax.jit` + GSPMD insert
+the psum gradient reduction over ICI automatically — there is no NCCL-style
+explicit collective code to write.
+
+A second (size-1 by default) ``model`` axis is kept for AM-XL style tensor
+sharding headroom (SURVEY.md §2.10 closing note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    dp: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a ``(dp, model)`` mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // model
+    assert dp * model == n, f"dp({dp}) * model({model}) != #devices({n})"
+    arr = np.array(devices).reshape(dp, model)
+    return Mesh(arr, axis_names=("dp", "model"))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place a batched pytree with its leading axis sharded over ``dp``."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.device_put(tree, sharding)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params, optimizer state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def constrain_dp(tree, mesh: Optional[Mesh]):
+    """Inside jit: constrain a batched pytree's leading axis onto ``dp``."""
+    if mesh is None:
+        return tree
+    return jax.lax.with_sharding_constraint(tree, NamedSharding(mesh, P("dp")))

@@ -66,6 +66,9 @@ def batchify(x, repeats: int):
     """
 
     def _one(a):
+        a = jnp.asarray(a)
+        if a.ndim == 0:  # batch-agnostic scalar leaf (e.g. disabled cache field)
+            return a
         a = jnp.broadcast_to(a[None], (repeats,) + a.shape)
         return a.reshape((repeats * a.shape[1],) + a.shape[2:])
 

@@ -3,10 +3,15 @@
 from rl4co_tpu.envs.base import Env, Instance  # noqa: F401
 from rl4co_tpu.envs.routing.tsp import TSP
 from rl4co_tpu.envs.routing.cvrp import CVRP
+from rl4co_tpu.envs.routing.op import OP
+from rl4co_tpu.envs.routing.pctsp import PCTSP, SPCTSP
 
 ENV_REGISTRY = {
     "tsp": TSP,
     "cvrp": CVRP,
+    "op": OP,
+    "pctsp": PCTSP,
+    "spctsp": SPCTSP,
 }
 
 

@@ -9,7 +9,7 @@ step lives in `rl4co_tpu/ops/` (used for large N).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,10 +53,11 @@ class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int = 8
     use_bias: bool = True
+    dtype: Any = None  # computation dtype (None = infer from inputs/params)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
-        qkv = nn.Dense(3 * self.embed_dim, use_bias=self.use_bias, name="Wqkv")(x)
+        qkv = nn.Dense(3 * self.embed_dim, use_bias=self.use_bias, dtype=self.dtype, name="Wqkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _split_heads(q, self.num_heads)
         k = _split_heads(k, self.num_heads)
@@ -66,7 +67,7 @@ class MultiHeadAttention(nn.Module):
             mask = mask[..., None, None, :]
         out = scaled_dot_product_attention(q, k, v, mask)
         out = _merge_heads(out)
-        return nn.Dense(self.embed_dim, use_bias=self.use_bias, name="out_proj")(out)
+        return nn.Dense(self.embed_dim, use_bias=self.use_bias, dtype=self.dtype, name="out_proj")(out)
 
 
 class MultiHeadCrossAttention(nn.Module):
@@ -100,29 +101,34 @@ class MultiHeadCrossAttention(nn.Module):
 
 
 def pointer_logits(
-    query: jax.Array,      # [B, D] single-step context query (already projected)
+    query: jax.Array,      # [B, L, D] L context queries per instance
     glimpse_k: jax.Array,  # [B, N, D]
     glimpse_v: jax.Array,  # [B, N, D]
     logit_k: jax.Array,    # [B, N, D]
-    mask: jax.Array,       # [B, N] True = feasible
+    mask: jax.Array,       # [B, L, N] True = feasible
     num_heads: int,
-    project_out,           # callable [B, D] -> [B, D]
+    project_out,           # callable [B, L, D] -> [B, L, D]
     mask_inner: bool = True,
 ) -> jax.Array:
     """Functional core of the AM pointer head (reference `attention.py:274-320`).
 
-    1. masked multi-head glimpse: attend query over glimpse K/V
-    2. project heads -> glimpse vector
+    1. masked multi-head glimpse: attend queries over glimpse K/V
+    2. project heads -> glimpse vectors
     3. logits = glimpse · logit_k^T / sqrt(D)
+
+    The query axis L carries POMO starts / sampling repeats: instead of
+    tiling K/V per start (reference `batchify`), the L queries of one
+    instance share one K/V load — the decode step becomes a few large
+    batched GEMMs with L-fold better arithmetic intensity.
     """
     b, n, d = glimpse_k.shape
-    q = _split_heads(query[:, None, :], num_heads)       # [B, H, 1, Dh]
+    q = _split_heads(query, num_heads)                   # [B, H, L, Dh]
     k = _split_heads(glimpse_k, num_heads)               # [B, H, N, Dh]
     v = _split_heads(glimpse_v, num_heads)
-    inner_mask = mask[:, None, None, :] if mask_inner else None
-    heads = scaled_dot_product_attention(q, k, v, inner_mask)  # [B, H, 1, Dh]
-    glimpse = project_out(_merge_heads(heads)[:, 0, :])        # [B, D]
-    logits = jnp.einsum("bd,bnd->bn", glimpse, logit_k) / jnp.sqrt(
+    inner_mask = mask[:, None, :, :] if mask_inner else None
+    heads = scaled_dot_product_attention(q, k, v, inner_mask)  # [B, H, L, Dh]
+    glimpse = project_out(_merge_heads(heads))                 # [B, L, D]
+    logits = jnp.einsum("bld,bnd->bln", glimpse, logit_k) / jnp.sqrt(
         jnp.asarray(d, glimpse.dtype)
     )
     return logits
@@ -135,23 +141,29 @@ class PointerAttention(nn.Module):
     num_heads: int = 8
     mask_inner: bool = True
     out_bias: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self,
-        query: jax.Array,
-        glimpse_k: jax.Array,
+        query: jax.Array,      # [B, D] or [B, L, D]
+        glimpse_k: jax.Array,  # [B, N, D]
         glimpse_v: jax.Array,
         logit_k: jax.Array,
-        mask: jax.Array,
+        mask: jax.Array,       # [B, N] or [B, L, N]
     ) -> jax.Array:
-        project_out = nn.Dense(self.embed_dim, use_bias=self.out_bias, name="project_out")
-        return pointer_logits(
+        project_out = nn.Dense(self.embed_dim, use_bias=self.out_bias, dtype=self.dtype, name="project_out")
+        single = query.ndim == 2
+        if single:
+            query = query[:, None, :]
+            mask = mask[:, None, :]
+        logits = pointer_logits(
             query, glimpse_k, glimpse_v, logit_k, mask,
             num_heads=self.num_heads,
             project_out=project_out,
             mask_inner=self.mask_inner,
         )
+        return logits[:, 0, :] if single else logits
 
 
 class MultiHeadCompat(nn.Module):

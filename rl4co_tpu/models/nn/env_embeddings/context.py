@@ -53,10 +53,41 @@ class VRPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
 
 
+class OPContext(nn.Module):
+    """current node embedding + remaining length budget
+    (reference `context.py:201-214`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        remaining = (state.max_length[:, 0] - state.tour_length)[:, None]
+        ctx = jnp.concatenate([cur, remaining.astype(cur.dtype)], axis=-1)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
+class PCTSPContext(nn.Module):
+    """current node embedding + clamped remaining required prize
+    (reference `context.py:184-199`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        remaining = jnp.maximum(state.prize_required - state.cur_total_prize, 0.0)[:, None]
+        ctx = jnp.concatenate([cur, remaining.astype(cur.dtype)], axis=-1)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
 CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "tsp": TSPContext,
     "cvrp": VRPContext,
     "sdvrp": VRPContext,
+    "op": OPContext,
+    "pctsp": PCTSPContext,
+    "spctsp": PCTSPContext,
 }
 
 

@@ -53,10 +53,53 @@ class VRPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, node_emb], axis=-2)
 
 
+class OPInitEmbedding(nn.Module):
+    """Depot (xy) and customers (xy+prize) (reference `init.py:254-280`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        depot = instance["depot"][:, None, :]
+        feats = jnp.concatenate(
+            [instance["locs"], instance["prize"][..., None]], axis=-1
+        )
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(depot)
+        node_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(feats)
+        return jnp.concatenate([depot_emb, node_emb], axis=-2)
+
+
+class PCTSPInitEmbedding(nn.Module):
+    """Depot (xy), customers (xy + expected prize + penalty)
+    (reference `init.py:221-251`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        depot = instance["depot"][:, None, :]
+        feats = jnp.concatenate(
+            [
+                instance["locs"],
+                instance["deterministic_prize"][..., None],
+                instance["penalty"][..., None],
+            ],
+            axis=-1,
+        )
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(depot)
+        node_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(feats)
+        return jnp.concatenate([depot_emb, node_emb], axis=-2)
+
+
 INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "tsp": TSPInitEmbedding,
     "cvrp": VRPInitEmbedding,
     "sdvrp": VRPInitEmbedding,
+    "op": OPInitEmbedding,
+    "pctsp": PCTSPInitEmbedding,
+    "spctsp": PCTSPInitEmbedding,
 }
 
 

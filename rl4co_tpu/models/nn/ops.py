@@ -15,7 +15,7 @@ Normalization semantics follow the reference `Normalization` module
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,26 +31,28 @@ class Normalization(nn.Module):
         if self.normalization in (None, "none"):
             return x
         d = x.shape[-1]
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # statistics in f32 for bf16 activations
         if self.normalization == "batch":
             mean = x.mean(axis=tuple(range(x.ndim - 1)), keepdims=True)
             var = x.var(axis=tuple(range(x.ndim - 1)), keepdims=True)
             scale = self.param("scale", nn.initializers.ones, (d,))
             bias = self.param("bias", nn.initializers.zeros, (d,))
-            return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+            return ((x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias).astype(in_dtype)
         if self.normalization == "instance":
             mean = x.mean(axis=-2, keepdims=True)
             var = x.var(axis=-2, keepdims=True)
             scale = self.param("scale", nn.initializers.ones, (d,))
             bias = self.param("bias", nn.initializers.zeros, (d,))
-            return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+            return ((x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias).astype(in_dtype)
         if self.normalization == "layer":
             mean = x.mean(axis=(-2, -1), keepdims=True)
             var = x.var(axis=(-2, -1), keepdims=True)
-            return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+            return ((x - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(in_dtype)
         if self.normalization == "rms":
             ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
             scale = self.param("scale", nn.initializers.ones, (d,))
-            return x * jax.lax.rsqrt(ms + self.epsilon) * scale
+            return (x * jax.lax.rsqrt(ms + self.epsilon) * scale).astype(in_dtype)
         raise ValueError(f"Unknown normalization {self.normalization}")
 
 
@@ -89,14 +91,15 @@ class TransformerFFN(nn.Module):
     embed_dim: int
     feedforward_hidden: int = 512
     hidden_act: str = "relu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.feedforward_hidden <= 0:
-            return nn.Dense(self.embed_dim)(x)
-        h = nn.Dense(self.feedforward_hidden)(x)
+            return nn.Dense(self.embed_dim, dtype=self.dtype)(x)
+        h = nn.Dense(self.feedforward_hidden, dtype=self.dtype)(x)
         h = ACTIVATIONS[self.hidden_act.lower()](h)
-        return nn.Dense(self.embed_dim)(h)
+        return nn.Dense(self.embed_dim, dtype=self.dtype)(h)
 
 
 class PositionalEncoding(nn.Module):

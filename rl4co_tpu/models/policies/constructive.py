@@ -64,7 +64,7 @@ class ConstructivePolicy(nn.Module):
     def precompute(self, embeddings) -> PrecomputedCache:
         raise NotImplementedError
 
-    def decode_step(self, cache: PrecomputedCache, state, mask) -> jax.Array:
+    def decode_step(self, cache: PrecomputedCache, state, mask, num_repeats: int = 1) -> jax.Array:
         raise NotImplementedError
 
     def __call__(self, instances, state, mask):
@@ -104,19 +104,30 @@ def rollout(
     embeddings = policy.apply(params, instances, method="encode")
     cache = policy.apply(params, embeddings, method="precompute")
 
+    # Untiled-cache grouped decode: keep the cache at [B, ...] and give the
+    # decoder the repeat count as a query axis — unless the env updates K/V
+    # per state (dynamic embeddings), where we fall back to tiling.
+    from rl4co_tpu.models.nn.env_embeddings.dynamic import DYNAMIC_EMBEDDING_REGISTRY
+
+    grouped_ok = env.name not in DYNAMIC_EMBEDDING_REGISTRY
+
     first_actions = None
     num_repeats = 1
+    decode_repeats = 1
     if spec.multistart and spec.num_starts > 1:
         s = spec.num_starts
         starts = jax.vmap(lambda i: env.select_start_nodes(i, s))(instances)  # [B, S]
         first_actions = starts.T.reshape(-1)  # repeat-major [S*B]
-        cache = batchify(cache, s)
         instances = batchify(instances, s)
         num_repeats = s
     elif spec.num_samples > 1:
-        cache = batchify(cache, spec.num_samples)
         instances = batchify(instances, spec.num_samples)
         num_repeats = spec.num_samples
+    if num_repeats > 1:
+        if grouped_ok:
+            decode_repeats = num_repeats
+        else:
+            cache = batchify(cache, num_repeats)
 
     state0 = env.reset_batch(instances)
     t_steps = env.max_steps
@@ -131,8 +142,11 @@ def rollout(
     def step_fn(state, xs):
         t, k, replay_t = xs
         mask = env.action_mask_batch(state)
-        logits = policy.apply(params, cache, state, mask, method="decode_step")
-        logprobs = process_logits_spec(logits, mask, spec)
+        logits = policy.apply(
+            params, cache, state, mask, decode_repeats, method="decode_step"
+        )
+        # softmax/sampling numerics always in f32 (policy may compute in bf16)
+        logprobs = process_logits_spec(logits.astype(jnp.float32), mask, spec)
         action, logprob = decode_action(k, logprobs, mask, spec, replay_t)
         if first_actions is not None:
             action = jnp.where(t == 0, first_actions, action)

@@ -89,11 +89,35 @@ class AttentionModelPolicy(ConstructivePolicy):
             logit_key=logit_k,
         )
 
-    def decode_step(self, cache: PrecomputedCache, state, mask) -> jax.Array:
-        query = self.context_embedding(cache.node_embeddings, state)
-        query = query + cache.graph_context
+    def decode_step(self, cache: PrecomputedCache, state, mask, num_repeats: int = 1) -> jax.Array:
+        """One decode step.
+
+        With ``num_repeats == g > 1`` the cache stays *untiled* ``[B, ...]``
+        while the state/mask are flat ``[g*B, ...]`` (repeat-major): the g
+        starts/samples of an instance become a query axis sharing one K/V
+        load (see `pointer_logits`). Falls back to the flat path when the
+        env has dynamic embeddings (per-state K/V updates).
+        """
         gk, gv, lk = cache.glimpse_key, cache.glimpse_val, cache.logit_key
-        if not self._dynamic_is_static:
-            dk, dv, dl = self.dynamic_embedding(state)
-            gk, gv, lk = gk + dk, gv + dv, lk + dl
-        return self.pointer(query, gk, gv, lk, mask)
+        if num_repeats == 1:
+            query = self.context_embedding(cache.node_embeddings, state)
+            query = query + cache.graph_context
+            if not self._dynamic_is_static:
+                dk, dv, dl = self.dynamic_embedding(state)
+                gk, gv, lk = gk + dk, gv + dv, lk + dl
+            return self.pointer(query, gk, gv, lk, mask)
+
+        assert self._dynamic_is_static, "grouped decode requires static embeddings"
+        g = num_repeats
+        b, n, d = cache.node_embeddings.shape
+        # broadcast view for per-state gathers (fuses; never materialized)
+        embs_view = jnp.broadcast_to(
+            cache.node_embeddings[None], (g, b, n, d)
+        ).reshape(g * b, n, d)
+        query = self.context_embedding(embs_view, state)  # [g*B, D]
+        if self.use_graph_context:
+            query = query + jnp.tile(cache.graph_context, (g, 1))
+        query_g = query.reshape(g, b, d).transpose(1, 0, 2)      # [B, g, D]
+        mask_g = mask.reshape(g, b, n).transpose(1, 0, 2)        # [B, g, N]
+        logits = self.pointer(query_g, gk, gv, lk, mask_g)       # [B, g, N]
+        return logits.transpose(1, 0, 2).reshape(g * b, n)

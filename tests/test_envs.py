@@ -15,7 +15,7 @@ from rl4co_tpu.envs import get_env
 BATCH = 4
 
 
-@pytest.mark.parametrize("env_name", ["tsp", "cvrp"])
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp"])
 def test_random_rollout(env_name):
     env = get_env(env_name, num_loc=10)
     key = jax.random.PRNGKey(0)
@@ -29,7 +29,7 @@ def test_random_rollout(env_name):
         env.check_solution_validity(inst_b, np.asarray(actions)[b])
 
 
-@pytest.mark.parametrize("env_name", ["tsp", "cvrp"])
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp"])
 def test_rollout_deterministic_given_seed(env_name):
     env = get_env(env_name, num_loc=8)
     key = jax.random.PRNGKey(42)

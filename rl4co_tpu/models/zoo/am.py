@@ -70,9 +70,12 @@ class AttentionModelPolicy(ConstructivePolicy):
             self.embed_dim, self.num_heads, mask_inner=self.mask_inner
         )
 
+    def init_embed(self, instances) -> jax.Array:
+        """Pre-encoder initial embeddings (exposed for SymNCO's invariance loss)."""
+        return self.init_embedding(instances)
+
     def encode(self, instances) -> jax.Array:
-        h0 = self.init_embedding(instances)
-        return self.encoder_net(h0)
+        return self.encoder_net(self.init_embed(instances))
 
     def precompute(self, embeddings: jax.Array) -> PrecomputedCache:
         proj = self.project_node_embeddings(embeddings)

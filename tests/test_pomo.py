@@ -52,3 +52,18 @@ def test_pomo_train_and_eval():
     m = eval_step(state.params, val, jax.random.PRNGKey(3))
     assert float(m["max_aug_reward"]) >= float(m["max_reward"]) - 1e-6
     assert float(m["max_reward"]) >= float(m["reward"]) - 1e-6
+
+
+def test_symnco_train_step():
+    from rl4co_tpu.models.zoo.symnco import SymNCO, SymNCOPolicy
+
+    env = get_env("tsp", num_loc=6)
+    policy = SymNCOPolicy(env_name="tsp", embed_dim=16, num_encoder_layers=1,
+                          feedforward_hidden=32, num_heads=2)
+    algo = SymNCO(env=env, policy=policy, num_starts=6,
+                  train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    state = algo.init(jax.random.PRNGKey(0))
+    train_step = algo.make_train_step(batch_size=4)
+    state, m = train_step(state, jax.random.PRNGKey(1))
+    for k in ("loss", "loss_ps", "loss_ss", "loss_inv"):
+        assert np.isfinite(float(m[k])), k

@@ -1,0 +1,138 @@
+"""Evaluation harness (reference `rl4co/tasks/eval.py:333-408`).
+
+Six protocols over a fixed instance set:
+    greedy | sampling | multistart_greedy | augment_dihedral_8 | augment |
+    multistart_greedy_augment_dihedral_8
+
+Each is one jitted sweep (augment → rollout → group-max) batched over the
+dataset; the reference's per-mode Python classes (`eval.py:40-300`) collapse
+into spec + augmentation composition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl4co_tpu.data.transforms import augment_instances
+from rl4co_tpu.decoding import DecodeSpec
+from rl4co_tpu.envs.base import Env
+from rl4co_tpu.models.policies.constructive import rollout
+from rl4co_tpu.utils.ops import unbatchify
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalMethod:
+    decode: str = "greedy"          # greedy | sampling
+    num_samples: int = 1
+    multistart: bool = False
+    num_augment: int = 1
+    augment_fn: str = "dihedral8"
+    temperature: float = 1.0
+    top_p: float = 0.0
+    top_k: int = 0
+
+
+EVAL_METHODS = {
+    "greedy": EvalMethod(),
+    "sampling": EvalMethod(decode="sampling", num_samples=1280),
+    "multistart_greedy": EvalMethod(multistart=True),
+    "augment_dihedral_8": EvalMethod(num_augment=8, augment_fn="dihedral8"),
+    "augment": EvalMethod(num_augment=8, augment_fn="symmetric"),
+    "multistart_greedy_augment_dihedral_8": EvalMethod(
+        multistart=True, num_augment=8, augment_fn="dihedral8"
+    ),
+    "multistart_greedy_augment": EvalMethod(
+        multistart=True, num_augment=8, augment_fn="symmetric"
+    ),
+}
+
+
+def evaluate_policy(
+    env: Env,
+    policy,
+    params,
+    instances: dict,
+    method: str = "greedy",
+    key: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+    num_starts: Optional[int] = None,
+    tanh_clipping: float = 10.0,
+    **method_overrides,
+) -> dict:
+    """Evaluate ``policy`` on ``instances``; returns per-instance best rewards.
+
+    Auto batch-size shrinks with starts×augs×samples like the reference
+    (`eval.py:302-330`).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(1234)
+    m = EVAL_METHODS.get(method)
+    if m is None:
+        raise ValueError(f"Unknown eval method {method}. Available: {sorted(EVAL_METHODS)}")
+    m = dataclasses.replace(m, **method_overrides)
+
+    s = (num_starts or env.get_num_starts()) if m.multistart else max(m.num_samples, 1)
+    a = max(m.num_augment, 1)
+    if batch_size is None:
+        batch_size = max(1, 8192 // max(1, s * a))
+
+    spec = DecodeSpec(
+        kind="sampling" if (m.decode == "sampling" and not m.multistart) else m.decode,
+        multistart=m.multistart,
+        num_starts=s if m.multistart else 0,
+        num_samples=m.num_samples if (m.num_samples > 1 and not m.multistart) else 0,
+        temperature=m.temperature,
+        top_p=m.top_p,
+        top_k=m.top_k,
+        tanh_clipping=tanh_clipping,
+    )
+    repeats = s if (m.multistart or m.num_samples > 1) else 1
+
+    @jax.jit
+    def run_batch(params, batch, k):
+        if a > 1:
+            batch = augment_instances(batch, a, m.augment_fn, key=k)
+        out = rollout(policy, params, env, batch, k, spec)
+        r = out.reward
+        if repeats > 1:
+            r = unbatchify(r, repeats).max(axis=-1)  # [A*B]
+        if a > 1:
+            r = unbatchify(r, a).max(axis=-1)  # [B]
+        return r
+
+    n = jax.tree_util.tree_leaves(instances)[0].shape[0]
+    rewards = []
+    t0 = time.perf_counter()
+    for start in range(0, n - batch_size + 1, batch_size):
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x[start : start + batch_size]), instances
+        )
+        r = run_batch(params, batch, jax.random.fold_in(key, start))
+        rewards.append(np.asarray(r))
+    # ragged tail: evaluate by padding up to batch_size to avoid a recompile
+    done_n = (n // batch_size) * batch_size
+    if done_n < n:
+        tail = n - done_n
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [jnp.asarray(x[done_n:]), jnp.asarray(x[:batch_size - tail])], axis=0
+            ),
+            instances,
+        )
+        r = run_batch(params, batch, jax.random.fold_in(key, done_n))
+        rewards.append(np.asarray(r)[:tail])
+    dt = time.perf_counter() - t0
+    rewards = np.concatenate(rewards)
+    return {
+        "rewards": rewards,
+        "mean_reward": float(rewards.mean()),
+        "inference_time": dt,
+        "instances_per_s": n / dt,
+        "method": method,
+    }

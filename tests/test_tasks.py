@@ -1,0 +1,76 @@
+"""Eval harness + io + checkpoint tests (reference `tests/test_tasks.py:62-70`)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rl4co_tpu.data.io import load_instances_npz, save_instances_npz
+from rl4co_tpu.envs import get_env
+from rl4co_tpu.models import AttentionModelPolicy
+from rl4co_tpu.models.policies.constructive import init_policy_params
+from rl4co_tpu.tasks.eval import evaluate_policy
+
+
+def setup():
+    env = get_env("tsp", num_loc=8)
+    policy = AttentionModelPolicy(env_name="tsp", embed_dim=16,
+                                  num_encoder_layers=1, feedforward_hidden=32,
+                                  num_heads=2)
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    return env, policy, params
+
+
+@pytest.mark.parametrize(
+    "method", ["greedy", "sampling", "multistart_greedy",
+               "augment_dihedral_8", "multistart_greedy_augment_dihedral_8"]
+)
+def test_evaluate_policy_methods(method):
+    env, policy, params = setup()
+    instances = env.generate_batch(jax.random.PRNGKey(1), 10)
+    kwargs = {"num_samples": 4} if method == "sampling" else {}
+    res = evaluate_policy(env, policy, params, instances, method=method,
+                          batch_size=4, **kwargs)
+    assert res["rewards"].shape == (10,)
+    assert np.isfinite(res["rewards"]).all()
+
+
+def test_stronger_methods_dominate_greedy():
+    env, policy, params = setup()
+    instances = env.generate_batch(jax.random.PRNGKey(1), 8)
+    greedy = evaluate_policy(env, policy, params, instances, "greedy", batch_size=8)
+    ms = evaluate_policy(env, policy, params, instances, "multistart_greedy", batch_size=8)
+    aug = evaluate_policy(env, policy, params, instances, "augment_dihedral_8", batch_size=8)
+    assert (ms["rewards"] >= greedy["rewards"] - 1e-5).all()
+    assert (aug["rewards"] >= greedy["rewards"] - 1e-5).all()
+
+
+def test_npz_roundtrip(tmp_path):
+    env = get_env("cvrp", num_loc=6)
+    instances = jax.device_get(env.generate_batch(jax.random.PRNGKey(0), 5))
+    p = os.path.join(tmp_path, "data.npz")
+    save_instances_npz(instances, p)
+    loaded = load_instances_npz(p)
+    for k in instances:
+        np.testing.assert_allclose(np.asarray(instances[k]), loaded[k], rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from rl4co_tpu.checkpoint import restore_checkpoint, save_checkpoint
+    from rl4co_tpu.decoding import DecodeSpec
+    from rl4co_tpu.rl.reinforce import REINFORCE
+
+    env, policy, _ = setup()
+    algo = REINFORCE(env=env, policy=policy, baseline="exponential",
+                     train_spec=DecodeSpec(kind="sampling"))
+    state = algo.init(jax.random.PRNGKey(0))
+    train_step = algo.make_train_step(batch_size=4, donate=False)
+    state2, _ = train_step(state, jax.random.PRNGKey(1))
+    path = save_checkpoint(os.path.join(tmp_path, "ckpt"), state2, step=1)
+    restored = restore_checkpoint(path, state)
+    assert int(restored.step) == 1
+    l1 = jax.tree_util.tree_leaves(restored.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -5,6 +5,9 @@ from rl4co_tpu.envs.routing.tsp import TSP
 from rl4co_tpu.envs.routing.cvrp import CVRP
 from rl4co_tpu.envs.routing.op import OP
 from rl4co_tpu.envs.routing.pctsp import PCTSP, SPCTSP
+from rl4co_tpu.envs.routing.atsp import ATSP
+from rl4co_tpu.envs.routing.sdvrp import SDVRP
+from rl4co_tpu.envs.routing.mtsp import MTSP, SHPP
 
 ENV_REGISTRY = {
     "tsp": TSP,
@@ -12,6 +15,10 @@ ENV_REGISTRY = {
     "op": OP,
     "pctsp": PCTSP,
     "spctsp": SPCTSP,
+    "atsp": ATSP,
+    "sdvrp": SDVRP,
+    "mtsp": MTSP,
+    "shpp": SHPP,
 }
 
 

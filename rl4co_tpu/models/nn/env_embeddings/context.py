@@ -81,8 +81,38 @@ class PCTSPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
 
 
+class MTSPContext(nn.Module):
+    """current node embedding + projected dynamic features
+    (remaining agents, current length, max subtour length, distance from
+    depot; reference `context.py:246-285`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        cur_loc = gather_by_index(state.locs, state.current_node)
+        dist_depot = jnp.linalg.norm(cur_loc - state.locs[:, 0], axis=-1)
+        feats = jnp.stack(
+            [
+                (state.num_agents - state.agent_idx).astype(jnp.float32),
+                state.current_length,
+                state.max_subtour_length,
+                dist_depot,
+            ],
+            axis=-1,
+        )
+        feats_emb = nn.Dense(self.embed_dim, use_bias=False, name="proj_dynamic_feats")(
+            feats.astype(cur.dtype)
+        )
+        ctx = jnp.concatenate([cur, feats_emb], axis=-1)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
 CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "tsp": TSPContext,
+    "shpp": TSPContext,
+    "mtsp": MTSPContext,
     "cvrp": VRPContext,
     "sdvrp": VRPContext,
     "op": OPContext,

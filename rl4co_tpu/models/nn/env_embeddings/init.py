@@ -93,8 +93,28 @@ class PCTSPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, node_emb], axis=-2)
 
 
+class MTSPInitEmbedding(nn.Module):
+    """Depot and city coordinates embedded separately (reference `init.py:363-379`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        locs = instance["locs"]
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(
+            locs[..., 0:1, :]
+        )
+        node_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(
+            locs[..., 1:, :]
+        )
+        return jnp.concatenate([depot_emb, node_emb], axis=-2)
+
+
 INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "tsp": TSPInitEmbedding,
+    "shpp": TSPInitEmbedding,
+    "mtsp": MTSPInitEmbedding,
     "cvrp": VRPInitEmbedding,
     "sdvrp": VRPInitEmbedding,
     "op": OPInitEmbedding,

@@ -8,8 +8,12 @@ from rl4co_tpu.envs.routing.pctsp import PCTSP, SPCTSP
 from rl4co_tpu.envs.routing.atsp import ATSP
 from rl4co_tpu.envs.routing.sdvrp import SDVRP
 from rl4co_tpu.envs.routing.mtsp import MTSP, SHPP
+from rl4co_tpu.envs.routing.pdp import PDP
+from rl4co_tpu.envs.routing.cvrptw import CVRPTW
 
 ENV_REGISTRY = {
+    "pdp": PDP,
+    "cvrptw": CVRPTW,
     "tsp": TSP,
     "cvrp": CVRP,
     "op": OP,

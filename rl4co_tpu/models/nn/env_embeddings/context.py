@@ -81,6 +81,35 @@ class PCTSPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
 
 
+class VRPTWContext(nn.Module):
+    """current node embedding + (remaining capacity, current time)
+    (reference `context.py:151-167`)."""
+
+    embed_dim: int
+    vehicle_capacity: float = 1.0
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        remaining = (self.vehicle_capacity - state.used_capacity)[:, None]
+        t = state.current_time[:, None]
+        ctx = jnp.concatenate(
+            [cur, remaining.astype(cur.dtype), t.astype(cur.dtype)], axis=-1
+        )
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
+class PDPContext(nn.Module):
+    """current node embedding only (reference `context.py:287-297`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(cur)
+
+
 class MTSPContext(nn.Module):
     """current node embedding + projected dynamic features
     (remaining agents, current length, max subtour length, distance from
@@ -113,6 +142,8 @@ CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "tsp": TSPContext,
     "shpp": TSPContext,
     "mtsp": MTSPContext,
+    "cvrptw": VRPTWContext,
+    "pdp": PDPContext,
     "cvrp": VRPContext,
     "sdvrp": VRPContext,
     "op": OPContext,

@@ -93,6 +93,52 @@ class PCTSPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, node_emb], axis=-2)
 
 
+class VRPTWInitEmbedding(nn.Module):
+    """Depot (xy); customers (xy, demand, tw start, tw end, duration)
+    (reference `init.py:143-158`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        depot = instance["depot"][:, None, :]
+        feats = jnp.concatenate(
+            [
+                instance["locs"],
+                instance["demand"][..., None],
+                instance["time_windows"][..., 1:, :],
+                instance["durations"][..., 1:, None],
+            ],
+            axis=-1,
+        )
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(depot)
+        node_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(feats)
+        return jnp.concatenate([depot_emb, node_emb], axis=-2)
+
+
+class PDPInitEmbedding(nn.Module):
+    """Depot; pickups embedded with their paired delivery coords; deliveries
+    alone (reference `init.py:335-360`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        depot = instance["depot"][:, None, :]
+        locs = instance["locs"]
+        half = locs.shape[-2] // 2
+        pick_feats = jnp.concatenate([locs[:, :half], locs[:, half:]], axis=-1)
+        delivery_feats = locs[:, half:]
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(depot)
+        pick_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_pick")(pick_feats)
+        delivery_emb = nn.Dense(
+            self.embed_dim, use_bias=self.use_bias, name="init_embed_delivery"
+        )(delivery_feats)
+        return jnp.concatenate([depot_emb, pick_emb, delivery_emb], axis=-2)
+
+
 class MTSPInitEmbedding(nn.Module):
     """Depot and city coordinates embedded separately (reference `init.py:363-379`)."""
 
@@ -115,6 +161,8 @@ INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "tsp": TSPInitEmbedding,
     "shpp": TSPInitEmbedding,
     "mtsp": MTSPInitEmbedding,
+    "cvrptw": VRPTWInitEmbedding,
+    "pdp": PDPInitEmbedding,
     "cvrp": VRPInitEmbedding,
     "sdvrp": VRPInitEmbedding,
     "op": OPInitEmbedding,

@@ -15,7 +15,7 @@ from rl4co_tpu.envs import get_env
 BATCH = 4
 
 
-@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp", "atsp", "sdvrp", "mtsp", "shpp"])
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp", "atsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw"])
 def test_random_rollout(env_name):
     env = get_env(env_name, num_loc=10)
     key = jax.random.PRNGKey(0)

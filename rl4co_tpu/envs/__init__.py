@@ -10,10 +10,16 @@ from rl4co_tpu.envs.routing.sdvrp import SDVRP
 from rl4co_tpu.envs.routing.mtsp import MTSP, SHPP
 from rl4co_tpu.envs.routing.pdp import PDP
 from rl4co_tpu.envs.routing.cvrptw import CVRPTW
+from rl4co_tpu.envs.graph.flp import FLP
+from rl4co_tpu.envs.graph.mcp import MCP
+from rl4co_tpu.envs.scheduling.smtwtp import SMTWTP
 
 ENV_REGISTRY = {
     "pdp": PDP,
     "cvrptw": CVRPTW,
+    "flp": FLP,
+    "mcp": MCP,
+    "smtwtp": SMTWTP,
     "tsp": TSP,
     "cvrp": CVRP,
     "op": OP,

@@ -138,7 +138,57 @@ class MTSPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
 
 
+class SMTWTPContext(nn.Module):
+    """current job embedding + current time (reference `context.py:283-299`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_job)
+        t = state.current_time[:, None]
+        ctx = jnp.concatenate([cur, t.astype(cur.dtype)], axis=-1)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
+class FLPContext(nn.Module):
+    """Softmax-weighted pooling by per-candidate distance improvement
+    (reference `context.py:391-407`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur_dist = state.distances[:, None, :]  # [B, 1, N]
+        improve = jnp.clip(cur_dist - state.orig_distances, 0.0).sum(-1)  # [B, N]
+        soft = jax.nn.softmax(improve, axis=-1)
+        ctx = (embeddings * soft[..., None].astype(embeddings.dtype)).sum(-2)
+        return nn.Dense(self.embed_dim, use_bias=True, name="project_context")(ctx)
+
+
+class MCPContext(nn.Module):
+    """Softmax-weighted pooling by remaining per-set coverable weight
+    (reference `context.py:410-428`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        remaining = state.weights * (~state.covered[:, 1:])  # [B, n_items]
+        idx = jnp.clip(state.membership - 1, 0, remaining.shape[-1] - 1)
+        gathered = jax.vmap(lambda w, i: w[i])(remaining, idx)  # [B, S, M]
+        valid = state.membership > 0
+        set_weight = (gathered * valid).sum(-1)  # [B, n_sets]
+        set_weight = jnp.where(state.chosen, 0.0, set_weight)
+        soft = jax.nn.softmax(set_weight, axis=-1)
+        ctx = (embeddings * soft[..., None].astype(embeddings.dtype)).sum(-2)
+        return nn.Dense(self.embed_dim, use_bias=True, name="project_context")(ctx)
+
+
 CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
+    "smtwtp": SMTWTPContext,
+    "flp": FLPContext,
+    "mcp": MCPContext,
     "tsp": TSPContext,
     "shpp": TSPContext,
     "mtsp": MTSPContext,

@@ -157,7 +157,59 @@ class MTSPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, node_emb], axis=-2)
 
 
+class SMTWTPInitEmbedding(nn.Module):
+    """(due time, weight, process time) per job (reference `init.py:382-401`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        feat = jnp.stack(
+            [
+                instance["job_due_time"],
+                instance["job_weight"],
+                instance["job_process_time"],
+            ],
+            axis=-1,
+        )
+        return nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(feat)
+
+
+class FLPInitEmbedding(nn.Module):
+    """xy projection (reference `init.py:557-564`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        return nn.Dense(self.embed_dim, name="projection")(instance["locs"])
+
+
+class MCPInitEmbedding(nn.Module):
+    """Per-set sum of member-item weight embeddings (reference `init.py:567-576`).
+
+    ``membership`` holds 1-based item ids (0 = pad); padded members contribute
+    zero.
+    """
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        weights = instance["weights"]          # [B, n_items]
+        membership = instance["membership"]    # [B, n_sets, max_size]
+        item_emb = nn.Dense(self.embed_dim, name="projection_items")(weights[..., None])
+        idx = jnp.clip(membership - 1, 0, weights.shape[-1] - 1)
+        gathered = jax.vmap(lambda e, i: e[i])(item_emb, idx)  # [B, S, M, D]
+        valid = (membership > 0)[..., None]
+        return (gathered * valid).sum(axis=-2)  # [B, n_sets, D]
+
+
 INIT_EMBEDDING_REGISTRY: dict[str, type] = {
+    "smtwtp": SMTWTPInitEmbedding,
+    "flp": FLPInitEmbedding,
+    "mcp": MCPInitEmbedding,
     "tsp": TSPInitEmbedding,
     "shpp": TSPInitEmbedding,
     "mtsp": MTSPInitEmbedding,

@@ -15,9 +15,20 @@ from rl4co_tpu.envs import get_env
 BATCH = 4
 
 
-@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp", "atsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw"])
+ENV_KWARGS = {
+    "mcp": dict(num_items=20, num_sets=10, n_sets_to_choose=3),
+    "flp": dict(num_loc=10, to_choose=3),
+    "smtwtp": dict(num_job=8),
+}
+
+
+def make_env(env_name, num_loc=10):
+    return get_env(env_name, **ENV_KWARGS.get(env_name, {"num_loc": num_loc}))
+
+
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp", "atsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw", "flp", "mcp", "smtwtp"])
 def test_random_rollout(env_name):
-    env = get_env(env_name, num_loc=10)
+    env = make_env(env_name, 10)
     key = jax.random.PRNGKey(0)
     instances, state, actions, reward = env.rollout_random(key, BATCH)
     assert reward.shape == (BATCH,)
@@ -31,7 +42,7 @@ def test_random_rollout(env_name):
 
 @pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp"])
 def test_rollout_deterministic_given_seed(env_name):
-    env = get_env(env_name, num_loc=8)
+    env = make_env(env_name, 8)
     key = jax.random.PRNGKey(42)
     _, _, a1, r1 = env.rollout_random(key, BATCH)
     _, _, a2, r2 = env.rollout_random(key, BATCH)

@@ -15,15 +15,26 @@ BATCH = 3
 NUM_LOC = 8
 
 
+ENV_KWARGS = {
+    "mcp": dict(num_items=20, num_sets=10, n_sets_to_choose=3),
+    "flp": dict(num_loc=10, to_choose=3),
+    "smtwtp": dict(num_job=8),
+}
+
+
+def make_env(env_name, num_loc=10):
+    return get_env(env_name, **ENV_KWARGS.get(env_name, {"num_loc": num_loc}))
+
+
 def make_policy(env_name):
-    env = get_env(env_name, num_loc=NUM_LOC)
+    env = make_env(env_name, NUM_LOC)
     policy = AttentionModelPolicy(env_name=env_name, embed_dim=32,
                                   num_encoder_layers=2, feedforward_hidden=64)
     params = init_policy_params(policy, env, jax.random.PRNGKey(0))
     return env, policy, params
 
 
-@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw"])
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw", "flp", "mcp", "smtwtp"])
 @pytest.mark.parametrize("kind", ["greedy", "sampling"])
 def test_rollout_shapes_and_validity(env_name, kind):
     env, policy, params = make_policy(env_name)

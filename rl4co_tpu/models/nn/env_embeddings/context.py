@@ -138,6 +138,29 @@ class MTSPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
 
 
+class MTVRPContext(nn.Module):
+    """current node embedding + (remaining linehaul/backhaul capacity,
+    current time, route length, open flag) (reference `context.py:359-388`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        feats = jnp.stack(
+            [
+                1.0 - state.used_capacity_linehaul,
+                1.0 - state.used_capacity_backhaul,
+                state.current_time,
+                state.current_route_length,
+                state.open_route.astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        ctx = jnp.concatenate([cur, feats.astype(cur.dtype)], axis=-1)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
 class SMTWTPContext(nn.Module):
     """current job embedding + current time (reference `context.py:283-299`)."""
 
@@ -187,6 +210,7 @@ class MCPContext(nn.Module):
 
 CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "smtwtp": SMTWTPContext,
+    "mtvrp": MTVRPContext,
     "flp": FLPContext,
     "mcp": MCPContext,
     "tsp": TSPContext,

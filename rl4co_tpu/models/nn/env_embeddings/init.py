@@ -157,6 +157,34 @@ class MTSPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, node_emb], axis=-2)
 
 
+class MTVRPInitEmbedding(nn.Module):
+    """Depot (xy); customers (xy, linehaul, backhaul, tw start/end, service)
+    (reference `init.py:525-554`). Disabled-TW inf end-times are zeroed."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        depot = instance["locs"][:, :1, :]
+        cities = instance["locs"][:, 1:, :]
+        tw = instance["time_windows"][..., 1:, :]
+        tw = jnp.where(tw > 1e17, 0.0, tw)  # [0, inf] -> [0, 0] when TW off
+        feats = jnp.concatenate(
+            [
+                cities,
+                instance["demand_linehaul"][..., 1:, None],
+                instance["demand_backhaul"][..., 1:, None],
+                tw,
+                instance["service_time"][..., 1:, None],
+            ],
+            axis=-1,
+        )
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(depot)
+        node_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(feats)
+        return jnp.concatenate([depot_emb, node_emb], axis=-2)
+
+
 class SMTWTPInitEmbedding(nn.Module):
     """(due time, weight, process time) per job (reference `init.py:382-401`)."""
 
@@ -208,6 +236,7 @@ class MCPInitEmbedding(nn.Module):
 
 INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "smtwtp": SMTWTPInitEmbedding,
+    "mtvrp": MTVRPInitEmbedding,
     "flp": FLPInitEmbedding,
     "mcp": MCPInitEmbedding,
     "tsp": TSPInitEmbedding,

@@ -66,7 +66,11 @@ class AttentionModelPolicy(ConstructivePolicy):
         # Precompute projections (reference `zoo/am/decoder.py:60-72`)
         self.project_node_embeddings = nn.Dense(3 * self.embed_dim, use_bias=False)
         self.project_fixed_context = nn.Dense(self.embed_dim, use_bias=False)
-        self.pointer = PointerAttention(
+        self.pointer = self._make_pointer()
+
+    def _make_pointer(self):
+        """Factory for the pointer head — overridden by PolyNet / MVMoE."""
+        return PointerAttention(
             self.embed_dim, self.num_heads, mask_inner=self.mask_inner
         )
 

@@ -1,0 +1,162 @@
+"""GFACS — GFlowNet-guided ACO (Kim et al. 2024).
+
+Reference `rl4co/models/zoo/gfacs/{model,policy,encoder}.py`: DeepACO's
+NARGNN encoder extended with a log-partition head (``logZ``,
+`gfacs/encoder.py:46-68`); training minimizes the squared trajectory-balance
+residual ``(log_likelihood + logZ − log_pb − β·advantage)²``
+(`gfacs/model.py:90-138`), with α/β annealed over epochs
+(`gfacs/model.py:75-88`). Local-search off-policy terms attach once the
+native local-search component lands (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rl4co_tpu.decoding import DecodeSpec
+from rl4co_tpu.models.policies.nonautoregressive import (
+    nar_rollout,
+    random_feasible_starts,
+)
+from rl4co_tpu.models.zoo.deepaco import DeepACO
+from rl4co_tpu.models.zoo.nargnn import EdgeHeatmapGenerator, NARGNNEncoder
+from rl4co_tpu.models.nn.env_embeddings import env_init_embedding
+from rl4co_tpu.models.nn.env_embeddings.edge import env_edge_embedding
+from rl4co_tpu.models.nn.graph.gnn import SparseGNNEncoder
+from rl4co_tpu.utils.ops import unbatchify
+
+
+class GFACSEncoder(nn.Module):
+    """NARGNN + logZ head (reference `gfacs/encoder.py:8-68`)."""
+
+    env_name: str = "tsp"
+    embed_dim: int = 64
+    num_layers_graph_encoder: int = 15
+    num_layers_heatmap_generator: int = 5
+    act_fn: str = "silu"
+    agg_fn: str = "mean"
+    k_sparse: Optional[int] = None
+    z_out_dim: int = 1
+
+    @nn.compact
+    def __call__(self, instances):
+        x = env_init_embedding(self.env_name, self.embed_dim)(instances)
+        w, nbr_idx = env_edge_embedding(
+            self.env_name, self.embed_dim, k_sparse=self.k_sparse
+        )(instances)
+        x, w = SparseGNNEncoder(
+            self.embed_dim,
+            num_layers=self.num_layers_graph_encoder,
+            act_fn=self.act_fn,
+            agg_fn=self.agg_fn,
+            name="graph_network",
+        )(x, w, nbr_idx)
+        z = nn.Dense(self.embed_dim, name="z_net_0")(w)
+        z = jax.nn.silu(z)
+        logZ = nn.Dense(self.z_out_dim, name="z_net_1")(z).mean(axis=(-3, -2))  # [B, z]
+        heat = EdgeHeatmapGenerator(
+            self.embed_dim,
+            num_layers=self.num_layers_heatmap_generator,
+            name="heatmap_generator",
+        )(w, nbr_idx)
+        return heat, logZ
+
+
+def log_pb_uniform(env_name: str, actions: jax.Array) -> jax.Array:
+    """Uniform backward-policy log-prob per env (reference `gfacs/model.py:141-157`)."""
+    if env_name == "tsp":
+        return jnp.full(actions.shape[0], math.log(0.5 * actions.shape[1]))
+    if env_name == "cvrp":
+        a = actions
+        n_nodes = (a != 0).sum(axis=1)
+        n_routes = (a[:, 1:] != a[:, :-1]).sum(axis=1) - n_nodes
+        n_multi = (a[:, 2:] != a[:, :-2]).sum(axis=1) - n_nodes
+        return (
+            -jax.scipy.special.gammaln(n_routes.astype(jnp.float32) + 1.0)
+            - n_multi.astype(jnp.float32) * math.log(2.0)
+        )
+    if env_name in ("op", "pctsp"):
+        return jnp.full(actions.shape[0], math.log(0.5))
+    raise ValueError(f"Unknown environment for GFACS: {env_name}")
+
+
+@dataclasses.dataclass(frozen=True)
+class GFACS(DeepACO):
+    """GFACS algorithm: DeepACO sampling/ACO with a TB loss.
+
+    β is passed per-step via ``beta`` (the trainer can anneal it per epoch
+    with `beta_at_epoch`; reference `gfacs/model.py:75-88`).
+    """
+
+    beta_min: float = 1.0
+    beta_max: float = 1.0
+    beta_flat_epochs: int = 5
+    total_epochs: int = 100
+    beta: float = 1.0
+
+    def __post_init__(self):
+        if self.encoder is None:
+            object.__setattr__(self, "encoder", GFACSEncoder(env_name=self.env.name))
+
+    def beta_at_epoch(self, epoch: int) -> float:
+        denom = math.log(max(self.total_epochs - self.beta_flat_epochs, 2))
+        return self.beta_min + (self.beta_max - self.beta_min) * min(
+            math.log(epoch + 1) / denom, 1.0
+        )
+
+    def loss(self, params, _baseline_state, instances, key):
+        kstart, kroll = jax.random.split(key)
+        heat, logZ = self.encoder.apply(params, instances)
+        s = self.n_ants_train
+        spec = DecodeSpec(
+            kind="sampling", multistart=True, num_starts=s,
+            temperature=self.temperature, top_k=self.top_k,
+        )
+        first = random_feasible_starts(self.env, instances, s, kstart)
+        out = nar_rollout(self.env, instances, heat, kroll, spec, first_actions=first)
+        reward = unbatchify(out.reward, s)          # [B, ants]
+        ll = unbatchify(out.log_likelihood, s)
+        advantage = reward - reward.mean(axis=-1, keepdims=True)
+        log_pb = unbatchify(log_pb_uniform(self.env.name, out.actions), s)
+        forward_flow = ll + logZ[:, 0:1]
+        backward_flow = log_pb + jax.lax.stop_gradient(advantage) * self.beta
+        tb_loss = jnp.square(forward_flow - backward_flow).mean()
+        metrics = {
+            "loss": tb_loss,
+            "reward": reward.mean(),
+            "best_ant_reward": reward.max(axis=-1).mean(),
+            "logZ": logZ.mean(),
+            "entropy": out.entropy.mean(),
+        }
+        return tb_loss, metrics
+
+    def make_eval_step(self, spec=None):
+        def eval_step(params, instances, key):
+            from rl4co_tpu.models.zoo.deepaco import run_ant_system
+
+            heat, _ = self.encoder.apply(params, instances)
+            _, best_reward, _ = run_ant_system(
+                self.env, instances, heat, key,
+                n_ants=self.n_ants_eval,
+                n_iterations=self.n_iterations_eval,
+                alpha=self.aco_alpha, beta=self.aco_beta, decay=self.aco_decay,
+            )
+            return {"reward": best_reward.mean(), "max_reward": best_reward.max()}
+
+        return jax.jit(eval_step)
+
+    def greedy_reward_fn(self):
+        def fn(params, instances):
+            heat, _ = self.encoder.apply(params, instances)
+            return nar_rollout(
+                self.env, instances, heat, jax.random.PRNGKey(0),
+                DecodeSpec(kind="greedy"),
+            ).reward
+
+        return fn

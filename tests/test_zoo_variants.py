@@ -1,0 +1,71 @@
+"""Zoo variant tests: GFACS, PolyNet, MVMoE."""
+
+import jax
+import numpy as np
+
+from rl4co_tpu.decoding import DecodeSpec
+from rl4co_tpu.envs import get_env
+from rl4co_tpu.models.policies.constructive import init_policy_params, rollout
+
+
+def test_gfacs_train_step():
+    from rl4co_tpu.models.zoo.gfacs import GFACS, GFACSEncoder
+
+    env = get_env("tsp", num_loc=8)
+    enc = GFACSEncoder(env_name="tsp", embed_dim=16,
+                       num_layers_graph_encoder=2,
+                       num_layers_heatmap_generator=2)
+    algo = GFACS(env=env, encoder=enc, n_ants_train=4, n_ants_eval=4,
+                 n_iterations_eval=2)
+    state = algo.init(jax.random.PRNGKey(0))
+    ts = algo.make_train_step(batch_size=2)
+    state, m = ts(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["logZ"]))
+
+
+def test_gfacs_log_pb_cvrp():
+    import jax.numpy as jnp
+    from rl4co_tpu.models.zoo.gfacs import log_pb_uniform
+
+    actions = jnp.array([[1, 2, 0, 3, 0, 0], [1, 0, 2, 0, 3, 0]])
+    lp = np.asarray(log_pb_uniform("cvrp", actions))
+    assert lp.shape == (2,)
+    assert np.isfinite(lp).all()
+
+
+def test_polynet_train_and_eval():
+    from rl4co_tpu.models.zoo.polynet import PolyNet, PolyNetPolicy
+
+    env = get_env("tsp", num_loc=6)
+    policy = PolyNetPolicy(env_name="tsp", embed_dim=16, num_encoder_layers=1,
+                           feedforward_hidden=32, num_heads=2, k=4,
+                           poly_layer_dim=16)
+    algo = PolyNet(env=env, policy=policy, k=4, val_num_solutions=4,
+                   train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    state = algo.init(jax.random.PRNGKey(0))
+    ts = algo.make_train_step(batch_size=3)
+    state, m = ts(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["max_reward"]) >= float(m["reward"]) - 1e-6
+    ev = algo.make_eval_step()
+    val = env.generate_batch(jax.random.PRNGKey(2), 3)
+    res = ev(state.params, val, jax.random.PRNGKey(3))
+    assert float(res["max_reward"]) >= float(res["reward"]) - 1e-6
+
+
+def test_mvmoe_policy_rollout():
+    from rl4co_tpu.models.zoo.mvmoe import MVMoEPolicy
+
+    env = get_env("cvrp", num_loc=6)
+    policy = MVMoEPolicy(env_name="cvrp", embed_dim=16, num_encoder_layers=1,
+                         feedforward_hidden=32, num_heads=2, num_experts=2,
+                         moe_topk=1)
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    instances = env.generate_batch(jax.random.PRNGKey(1), 3)
+    out = rollout(policy, params, env, instances, jax.random.PRNGKey(2),
+                  DecodeSpec(kind="greedy", tanh_clipping=10.0))
+    assert np.isfinite(np.asarray(out.reward)).all()
+    for b in range(3):
+        inst_b = jax.tree_util.tree_map(lambda x: x[b], instances)
+        env.check_solution_validity(inst_b, np.asarray(out.actions)[b])

@@ -103,7 +103,23 @@ def rollout(
     """
     embeddings = policy.apply(params, instances, method="encode")
     cache = policy.apply(params, embeddings, method="precompute")
+    return rollout_from_cache(
+        policy, params, env, instances, cache, key, spec, replay_actions
+    )
 
+
+def rollout_from_cache(
+    policy: ConstructivePolicy,
+    params,
+    env: Env,
+    instances,
+    cache: PrecomputedCache,
+    key: jax.Array,
+    spec: DecodeSpec,
+    replay_actions: Optional[jax.Array] = None,
+) -> RolloutOutput:
+    """Decode loop from a precomputed cache (used by EAS, which fine-tunes
+    embeddings/cache directly; reference `rl4co/models/zoo/eas/decoder.py`)."""
     # Untiled-cache grouped decode: keep the cache at [B, ...] and give the
     # decoder the repeat count as a query axis — unless the env updates K/V
     # per state (dynamic embeddings), where we fall back to tiling.

@@ -69,3 +69,27 @@ def test_mvmoe_policy_rollout():
     for b in range(3):
         inst_b = jax.tree_util.tree_map(lambda x: x[b], instances)
         env.check_solution_validity(inst_b, np.asarray(out.actions)[b])
+
+
+def test_matnet_atsp_rollout_and_train():
+    from rl4co_tpu.models.zoo.matnet import MatNetPolicy
+    from rl4co_tpu.rl.reinforce import REINFORCE
+
+    env = get_env("atsp", num_loc=6)
+    policy = MatNetPolicy(env_name="atsp", embed_dim=16, num_heads=2,
+                          num_encoder_layers=1, feedforward_hidden=32)
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    instances = env.generate_batch(jax.random.PRNGKey(1), 3)
+    out = rollout(policy, params, env, instances, jax.random.PRNGKey(2),
+                  DecodeSpec(kind="greedy", tanh_clipping=10.0))
+    assert np.isfinite(np.asarray(out.reward)).all()
+    for b in range(3):
+        inst_b = jax.tree_util.tree_map(lambda x: x[b], instances)
+        env.check_solution_validity(inst_b, np.asarray(out.actions)[b])
+
+    algo = REINFORCE(env=env, policy=policy, baseline="shared" if False else "mean",
+                     train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    state = algo.init(jax.random.PRNGKey(3))
+    ts = algo.make_train_step(batch_size=2)
+    state, m = ts(state, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["loss"]))

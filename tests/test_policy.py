@@ -104,3 +104,32 @@ def test_greedy_deterministic():
     o1 = rollout(policy, params, env, instances, jax.random.PRNGKey(2), spec)
     o2 = rollout(policy, params, env, instances, jax.random.PRNGKey(7), spec)
     np.testing.assert_array_equal(np.asarray(o1.actions), np.asarray(o2.actions))
+
+
+def test_beam_search_beats_greedy():
+    from rl4co_tpu.models.policies.beam_search import beam_search_rollout
+
+    env, policy, params = make_policy("tsp")
+    instances = env.generate_batch(jax.random.PRNGKey(1), BATCH)
+    greedy = rollout(policy, params, env, instances, jax.random.PRNGKey(2),
+                     DecodeSpec(kind="greedy", tanh_clipping=10.0))
+    beam = beam_search_rollout(policy, params, env, instances,
+                               jax.random.PRNGKey(2), beam_width=4,
+                               spec=DecodeSpec(kind="greedy", tanh_clipping=10.0))
+    assert beam.reward.shape == (BATCH,)
+    # beam contains the greedy trajectory -> must be at least as good
+    assert (np.asarray(beam.reward) >= np.asarray(greedy.reward) - 1e-5).all()
+    for b in range(BATCH):
+        inst_b = jax.tree_util.tree_map(lambda x: x[b], instances)
+        env.check_solution_validity(inst_b, np.asarray(beam.actions)[b])
+
+
+def test_beam_search_no_select_best_shapes():
+    from rl4co_tpu.models.policies.beam_search import beam_search_rollout
+
+    env, policy, params = make_policy("cvrp")
+    instances = env.generate_batch(jax.random.PRNGKey(1), 2)
+    out = beam_search_rollout(policy, params, env, instances,
+                              jax.random.PRNGKey(2), beam_width=3,
+                              select_best=False)
+    assert out.reward.shape == (6,)

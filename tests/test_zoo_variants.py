@@ -93,3 +93,25 @@ def test_matnet_atsp_rollout_and_train():
     ts = algo.make_train_step(batch_size=2)
     state, m = ts(state, jax.random.PRNGKey(4))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_ptrnet_rollout_and_train():
+    from rl4co_tpu.models.zoo.ptrnet import (
+        PointerNetwork, PointerNetworkModel, ptrnet_rollout,
+    )
+
+    env = get_env("tsp", num_loc=6)
+    policy = PointerNetwork(embed_dim=16, hidden_dim=16)
+    model = PointerNetworkModel(env=env, policy=policy)
+    state = model.init(jax.random.PRNGKey(0))
+    inst = env.generate_batch(jax.random.PRNGKey(1), 3)
+    out = ptrnet_rollout(policy, state.params, env, inst, jax.random.PRNGKey(2),
+                         DecodeSpec(kind="greedy", tanh_clipping=10.0))
+    for b in range(3):
+        env.check_solution_validity(
+            jax.tree_util.tree_map(lambda x: x[b], inst),
+            np.asarray(out.actions)[b],
+        )
+    ts = model.make_train_step(batch_size=4)
+    state, m = ts(state, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))

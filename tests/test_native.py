@@ -1,0 +1,100 @@
+"""Native C++ local-search tests (reference `tsp/local_search.py`,
+`cvrp/local_search.py` capabilities)."""
+
+import jax
+import numpy as np
+import pytest
+
+from rl4co_tpu.envs import get_env
+
+try:
+    from rl4co_tpu.native import batched_cvrp_local_search, batched_two_opt, get_lib
+
+    get_lib()
+    HAVE_NATIVE = True
+except Exception as e:  # pragma: no cover
+    HAVE_NATIVE = False
+    REASON = str(e)
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="native lib build failed")
+
+
+def tour_length(locs, tour):
+    ordered = locs[tour]
+    return np.linalg.norm(ordered - np.roll(ordered, -1, axis=0), axis=-1).sum()
+
+
+def test_two_opt_improves_random_tours():
+    env = get_env("tsp", num_loc=30)
+    instances = jax.device_get(env.generate_batch(jax.random.PRNGKey(0), 8))
+    locs = np.asarray(instances["locs"])
+    rng = np.random.default_rng(0)
+    tours = np.stack([rng.permutation(30) for _ in range(8)]).astype(np.int32)
+    before = np.array([tour_length(locs[b], tours[b]) for b in range(8)])
+    improved = batched_two_opt(locs, tours, max_iterations=200)
+    after = np.array([tour_length(locs[b], improved[b]) for b in range(8)])
+    assert (after <= before + 1e-5).all()
+    assert after.mean() < before.mean() * 0.8  # random tours improve a lot
+    for b in range(8):
+        assert sorted(improved[b]) == list(range(30)), "tour must stay a permutation"
+
+
+def cvrp_cost(locs, actions):
+    prev = 0
+    cost = 0.0
+    for a in actions:
+        cost += np.linalg.norm(locs[a] - locs[prev])
+        prev = a
+    cost += np.linalg.norm(locs[0] - locs[prev])
+    return cost
+
+
+def test_cvrp_local_search_improves_and_stays_feasible():
+    env = get_env("cvrp", num_loc=20)
+    _, state, actions, reward = env.rollout_random(jax.random.PRNGKey(0), 6)
+    locs = np.asarray(state.locs)
+    demand = np.pad(np.asarray(state.demand), ((0, 0), (1, 0)))
+    actions = np.asarray(actions).astype(np.int32)
+    before = np.array([cvrp_cost(locs[b], actions[b]) for b in range(6)])
+    improved = batched_cvrp_local_search(locs, demand, actions, capacity=1.0)
+    after = np.array([cvrp_cost(locs[b], improved[b]) for b in range(6)])
+    assert (after <= before + 1e-4).all()
+    # feasibility: all customers exactly once, capacity respected
+    for b in range(6):
+        cust = improved[b][improved[b] > 0]
+        assert sorted(cust) == list(range(1, 21))
+        load = 0.0
+        for a in improved[b]:
+            if a == 0:
+                load = 0.0
+            else:
+                load += demand[b][a]
+                assert load <= 1.0 + 1e-5
+
+
+def test_tsp_ls_fn_inside_jit():
+    import jax.numpy as jnp
+    from rl4co_tpu.envs.routing.local_search import make_tsp_ls_fn
+
+    env = get_env("tsp", num_loc=12)
+    instances = env.generate_batch(jax.random.PRNGKey(0), 4)
+    rng = np.random.default_rng(1)
+    tours = jnp.asarray(
+        np.stack([rng.permutation(12) for _ in range(4)]).astype(np.int32)
+    )
+    ls = make_tsp_ls_fn(max_iterations=100)
+
+    @jax.jit
+    def run(instances, tours):
+        reward0 = -jnp.linalg.norm(
+            jnp.take_along_axis(instances["locs"], tours[..., None], axis=-2)
+            - jnp.roll(
+                jnp.take_along_axis(instances["locs"], tours[..., None], axis=-2),
+                1, axis=-2,
+            ),
+            axis=-1,
+        ).sum(-1)
+        return ls(instances, tours, reward0), reward0
+
+    (new_tours, new_reward), reward0 = run(instances, tours)
+    assert (np.asarray(new_reward) >= np.asarray(reward0) - 1e-5).all()

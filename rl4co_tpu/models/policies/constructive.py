@@ -117,6 +117,7 @@ def rollout_from_cache(
     key: jax.Array,
     spec: DecodeSpec,
     replay_actions: Optional[jax.Array] = None,
+    decode_extra_args: tuple = (),
 ) -> RolloutOutput:
     """Decode loop from a precomputed cache (used by EAS, which fine-tunes
     embeddings/cache directly; reference `rl4co/models/zoo/eas/decoder.py`)."""
@@ -159,7 +160,8 @@ def rollout_from_cache(
         t, k, replay_t = xs
         mask = env.action_mask_batch(state)
         logits = policy.apply(
-            params, cache, state, mask, decode_repeats, method="decode_step"
+            params, cache, state, mask, decode_repeats, *decode_extra_args,
+            method="decode_step",
         )
         # softmax/sampling numerics always in f32 (policy may compute in bf16)
         logprobs = process_logits_spec(logits.astype(jnp.float32), mask, spec)

@@ -115,3 +115,21 @@ def test_ptrnet_rollout_and_train():
     ts = model.make_train_step(batch_size=4)
     state, m = ts(state, jax.random.PRNGKey(3))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_mdam_train_and_eval():
+    from rl4co_tpu.models.zoo.mdam import MDAM, MDAMPolicy
+
+    env = get_env("tsp", num_loc=6)
+    policy = MDAMPolicy(env_name="tsp", embed_dim=16, num_encoder_layers=1,
+                        feedforward_hidden=32, num_heads=2, num_paths=2)
+    algo = MDAM(env=env, policy=policy,
+                train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    state = algo.init(jax.random.PRNGKey(0))
+    ts = algo.make_train_step(batch_size=3)
+    state, m = ts(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    ev = algo.make_eval_step()
+    res = ev(state.params, env.generate_batch(jax.random.PRNGKey(2), 3),
+             jax.random.PRNGKey(3))
+    assert float(res["max_reward"]) >= float(res["reward"]) - 1e-6

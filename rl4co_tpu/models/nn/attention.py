@@ -135,13 +135,22 @@ def pointer_logits(
 
 
 class PointerAttention(nn.Module):
-    """AM decoder pointer head (reference `attention.py:218-320`)."""
+    """AM decoder pointer head (reference `attention.py:218-320`).
+
+    ``impl='pallas'`` routes the single-query decode step through the fused
+    Pallas kernel (`rl4co_tpu/ops/pointer_kernel.py`): one kernel launch,
+    one HBM pass over the K/V/logit-K caches, masking + tanh clipping
+    included. Multi-query (grouped multistart) and param structure are
+    shared with the XLA path.
+    """
 
     embed_dim: int
     num_heads: int = 8
     mask_inner: bool = True
     out_bias: bool = False
     dtype: Any = None
+    impl: str = "xla"  # "xla" | "pallas"
+    tanh_clipping: float = 0.0  # only used by the fused pallas path
 
     @nn.compact
     def __call__(
@@ -152,7 +161,36 @@ class PointerAttention(nn.Module):
         logit_k: jax.Array,
         mask: jax.Array,       # [B, N] or [B, L, N]
     ) -> jax.Array:
-        project_out = nn.Dense(self.embed_dim, use_bias=self.out_bias, dtype=self.dtype, name="project_out")
+        w_out = self.param(
+            "project_out_kernel",
+            nn.initializers.lecun_normal(),
+            (self.embed_dim, self.embed_dim),
+        )
+        b_out = (
+            self.param("project_out_bias", nn.initializers.zeros, (self.embed_dim,))
+            if self.out_bias
+            else None
+        )
+
+        if self.impl == "pallas" and query.ndim == 2:
+            from rl4co_tpu.ops.pointer_kernel import (
+                fused_pointer_logits,
+                mask_to_neg_bias,
+            )
+
+            assert not self.out_bias, "pallas pointer path assumes no out bias"
+            return fused_pointer_logits(
+                query, glimpse_k, glimpse_v, logit_k,
+                mask_to_neg_bias(mask), w_out.astype(query.dtype),
+                self.num_heads, self.tanh_clipping,
+            )
+
+        def project_out(x):
+            y = x @ w_out.astype(x.dtype)
+            if b_out is not None:
+                y = y + b_out.astype(x.dtype)
+            return y
+
         single = query.ndim == 2
         if single:
             query = query[:, None, :]

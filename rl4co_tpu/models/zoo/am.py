@@ -42,6 +42,7 @@ class AttentionModelPolicy(ConstructivePolicy):
     normalization: str = "batch"
     use_graph_context: bool = True
     mask_inner: bool = True
+    pointer_impl: str = "xla"  # "pallas" fuses the decode step kernel
     init_embedding_kwargs: Any = None
     context_embedding_kwargs: Any = None
 
@@ -71,7 +72,8 @@ class AttentionModelPolicy(ConstructivePolicy):
     def _make_pointer(self):
         """Factory for the pointer head — overridden by PolyNet / MVMoE."""
         return PointerAttention(
-            self.embed_dim, self.num_heads, mask_inner=self.mask_inner
+            self.embed_dim, self.num_heads, mask_inner=self.mask_inner,
+            impl=self.pointer_impl,
         )
 
     def init_embed(self, instances) -> jax.Array:

@@ -1,0 +1,156 @@
+"""Training entrypoint + static workload specs.
+
+TPU-native replacement for the reference's Hydra stack
+(`rl4co/tasks/train.py:19-111`, `configs/main.yaml`): instead of runtime
+config composition, a :class:`WorkloadSpec` dataclass is a static,
+jit-specialization-friendly description of one training run. Usable as a
+library (`build(spec)`) or CLI:
+
+    python -m rl4co_tpu.train --env tsp --model am --num-loc 20 \
+        --epochs 3 --batch-size 512 --train-size 10000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any, Optional
+
+import jax
+
+from rl4co_tpu.decoding import DecodeSpec
+from rl4co_tpu.envs import get_env
+from rl4co_tpu.trainer import Trainer, TrainerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class WorkloadSpec:
+    """One training workload (compare `configs/experiment/base.yaml`)."""
+
+    env_name: str = "tsp"
+    env_kwargs: tuple = ()         # tuple of (key, value) pairs — hashable
+    model: str = "am"              # am | pomo | symnco | ppo | a2c | polynet | deepaco | gfacs
+    policy_kwargs: tuple = ()
+    lr: float = 1e-4
+    baseline: str = "rollout"
+    epochs: int = 100
+    batch_size: int = 512
+    train_data_size: int = 1_280_000
+    val_data_size: int = 10_000
+    seed: int = 1234
+    tanh_clipping: float = 10.0
+
+    def env(self):
+        return get_env(self.env_name, **dict(self.env_kwargs))
+
+
+def build(spec: WorkloadSpec, mesh=None, logger=None):
+    """Build (algorithm, trainer) from a workload spec."""
+    env = spec.env()
+    pkw = dict(spec.policy_kwargs)
+    train_spec = DecodeSpec(kind="sampling", tanh_clipping=spec.tanh_clipping)
+
+    if spec.model == "am":
+        from rl4co_tpu.models import AttentionModelPolicy
+        from rl4co_tpu.rl.reinforce import REINFORCE
+
+        policy = AttentionModelPolicy(env_name=env.name, **pkw)
+        algo = REINFORCE(env=env, policy=policy, baseline=spec.baseline,
+                         train_spec=train_spec, lr=spec.lr)
+    elif spec.model == "pomo":
+        from rl4co_tpu.models.zoo.pomo import POMO, make_pomo_policy
+
+        policy = make_pomo_policy(env.name, **pkw)
+        algo = POMO(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
+    elif spec.model == "symnco":
+        from rl4co_tpu.models.zoo.symnco import SymNCO, SymNCOPolicy
+
+        policy = SymNCOPolicy(env_name=env.name, **pkw)
+        algo = SymNCO(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
+    elif spec.model == "ppo":
+        from rl4co_tpu.models import AttentionModelPolicy
+        from rl4co_tpu.rl.ppo import PPO
+
+        policy = AttentionModelPolicy(env_name=env.name, **pkw)
+        algo = PPO(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
+    elif spec.model == "a2c":
+        from rl4co_tpu.models import AttentionModelPolicy
+        from rl4co_tpu.rl.a2c import A2C
+
+        policy = AttentionModelPolicy(env_name=env.name, **pkw)
+        algo = A2C(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
+    elif spec.model == "polynet":
+        from rl4co_tpu.models.zoo.polynet import PolyNet, PolyNetPolicy
+
+        policy = PolyNetPolicy(env_name=env.name, **pkw)
+        algo = PolyNet(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
+    elif spec.model == "deepaco":
+        from rl4co_tpu.models.zoo.deepaco import DeepACO
+
+        algo = DeepACO(env=env, lr=spec.lr)
+    elif spec.model == "gfacs":
+        from rl4co_tpu.models.zoo.gfacs import GFACS
+
+        algo = GFACS(env=env, lr=spec.lr)
+    else:
+        raise ValueError(f"Unknown model {spec.model}")
+
+    cfg = TrainerConfig(
+        epochs=spec.epochs,
+        batch_size=spec.batch_size,
+        train_data_size=spec.train_data_size,
+        val_data_size=spec.val_data_size,
+        seed=spec.seed,
+    )
+    trainer = Trainer(algo, cfg, mesh=mesh, logger=logger)
+    return algo, trainer
+
+
+def main(argv: Optional[list] = None):
+    p = argparse.ArgumentParser(description="rl4co-tpu training")
+    p.add_argument("--env", default="tsp")
+    p.add_argument("--model", default="am")
+    p.add_argument("--num-loc", type=int, default=20)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--train-size", type=int, default=100_000)
+    p.add_argument("--val-size", type=int, default=1_000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--baseline", default="rollout")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--log-file", default=None, help="JSONL metrics file")
+    p.add_argument("--ckpt-dir", default=None)
+    args = p.parse_args(argv)
+
+    spec = WorkloadSpec(
+        env_name=args.env,
+        env_kwargs=(("num_loc", args.num_loc),),
+        model=args.model,
+        lr=args.lr,
+        baseline=args.baseline,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        train_data_size=args.train_size,
+        val_data_size=args.val_size,
+        seed=args.seed,
+    )
+    logger = None
+    if args.log_file:
+        from rl4co_tpu.loggers import JSONLLogger, MultiLogger
+
+        logger = MultiLogger(JSONLLogger(args.log_file),
+                             lambda m: print(json.dumps({k: str(v) for k, v in m.items()})))
+    print(f"Workload: {spec}")
+    algo, trainer = build(spec, logger=logger)
+    state = trainer.fit()
+    if args.ckpt_dir:
+        from rl4co_tpu.checkpoint import save_checkpoint
+
+        path = save_checkpoint(args.ckpt_dir, state, step=int(state.step))
+        print(f"Saved checkpoint to {path}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

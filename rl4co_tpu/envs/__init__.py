@@ -11,6 +11,7 @@ from rl4co_tpu.envs.routing.mtsp import MTSP, SHPP
 from rl4co_tpu.envs.routing.pdp import PDP
 from rl4co_tpu.envs.routing.cvrptw import CVRPTW
 from rl4co_tpu.envs.routing.mtvrp import MTVRP
+from rl4co_tpu.envs.routing.svrp import SVRP
 from rl4co_tpu.envs.graph.flp import FLP
 from rl4co_tpu.envs.graph.mcp import MCP
 from rl4co_tpu.envs.scheduling.smtwtp import SMTWTP
@@ -19,6 +20,7 @@ ENV_REGISTRY = {
     "pdp": PDP,
     "cvrptw": CVRPTW,
     "mtvrp": MTVRP,
+    "svrp": SVRP,
     "flp": FLP,
     "mcp": MCP,
     "smtwtp": SMTWTP,

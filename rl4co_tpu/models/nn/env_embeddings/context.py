@@ -161,6 +161,17 @@ class MTVRPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
 
 
+class SVRPContext(nn.Module):
+    """current node embedding only (reference `context.py:169-191`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(cur)
+
+
 class SMTWTPContext(nn.Module):
     """current job embedding + current time (reference `context.py:283-299`)."""
 
@@ -210,6 +221,7 @@ class MCPContext(nn.Module):
 
 CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "smtwtp": SMTWTPContext,
+    "svrp": SVRPContext,
     "mtvrp": MTVRPContext,
     "flp": FLPContext,
     "mcp": MCPContext,

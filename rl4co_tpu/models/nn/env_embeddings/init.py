@@ -185,6 +185,23 @@ class MTVRPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, node_emb], axis=-2)
 
 
+class SVRPInitEmbedding(nn.Module):
+    """Depot (xy); customers (xy, required skill) (reference `init.py:283-310`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        depot = instance["depot"][:, None, :]
+        feats = jnp.concatenate(
+            [instance["locs"], instance["skills"][..., None]], axis=-1
+        )
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(depot)
+        node_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(feats)
+        return jnp.concatenate([depot_emb, node_emb], axis=-2)
+
+
 class SMTWTPInitEmbedding(nn.Module):
     """(due time, weight, process time) per job (reference `init.py:382-401`)."""
 
@@ -236,6 +253,7 @@ class MCPInitEmbedding(nn.Module):
 
 INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "smtwtp": SMTWTPInitEmbedding,
+    "svrp": SVRPInitEmbedding,
     "mtvrp": MTVRPInitEmbedding,
     "flp": FLPInitEmbedding,
     "mcp": MCPInitEmbedding,

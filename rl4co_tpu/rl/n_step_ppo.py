@@ -43,6 +43,7 @@ class NStepPPO:
     lr_critic: float = 2e-5
     CL_scalar: float = 2.0
     CL_best: bool = False
+    action_dim: int = 2  # packed action width (DACT 2, N2S 3, NeuOpt 3*k_max)
     train_spec: DecodeSpec = DecodeSpec(kind="sampling", tanh_clipping=6.0)
 
     def __post_init__(self):
@@ -200,7 +201,7 @@ class NStepPPO:
                 return st, action
 
             b = env_state.cost_bsf.shape[0]
-            prev0 = jnp.zeros((b, 2), dtype=jnp.int32)
+            prev0 = jnp.zeros((b, self.action_dim), dtype=jnp.int32)
             env_state, prev = jax.lax.fori_loop(0, cl_num, body, (env_state, prev0))
             return env_state, prev
 
@@ -248,7 +249,7 @@ class NStepPPO:
                 st, _ = self.env.step_batch(st, action)
                 return (st, action), None
 
-            prev0 = jnp.zeros((b, 2), dtype=jnp.int32)
+            prev0 = jnp.zeros((b, self.action_dim), dtype=jnp.int32)
             (env_state, _), _ = jax.lax.scan(
                 body, (env_state, prev0), jax.random.split(key, t_max)
             )

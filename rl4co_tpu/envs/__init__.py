@@ -15,6 +15,7 @@ from rl4co_tpu.envs.routing.svrp import SVRP
 from rl4co_tpu.envs.graph.flp import FLP
 from rl4co_tpu.envs.graph.mcp import MCP
 from rl4co_tpu.envs.scheduling.smtwtp import SMTWTP
+from rl4co_tpu.envs.scheduling.ffsp import FFSP
 
 ENV_REGISTRY = {
     "pdp": PDP,
@@ -24,6 +25,7 @@ ENV_REGISTRY = {
     "flp": FLP,
     "mcp": MCP,
     "smtwtp": SMTWTP,
+    "ffsp": FFSP,
     "tsp": TSP,
     "cvrp": CVRP,
     "op": OP,

@@ -101,3 +101,14 @@ def test_cvrp_absorbing_after_done():
     actions2 = jnp.concatenate([actions, jnp.zeros((2, 1), jnp.int32)], axis=1)
     reward2 = env.reward_batch(state2, actions2)
     np.testing.assert_allclose(np.asarray(reward), np.asarray(reward2), rtol=1e-5)
+
+
+def test_ffsp_rollout_completes():
+    from rl4co_tpu.envs.scheduling.ffsp import FFSP
+
+    env = FFSP(num_stage=2, num_machine=3, num_job=4)
+    _, state, actions, reward = env.rollout_random(jax.random.PRNGKey(0), 4)
+    assert bool(np.asarray(state.done).all())
+    assert (np.asarray(reward) < 0).all()
+    # all jobs completed all stages
+    assert (np.asarray(state.job_location)[:, :4] == 2).all()

@@ -16,6 +16,7 @@ from rl4co_tpu.envs.graph.flp import FLP
 from rl4co_tpu.envs.graph.mcp import MCP
 from rl4co_tpu.envs.scheduling.smtwtp import SMTWTP
 from rl4co_tpu.envs.scheduling.ffsp import FFSP
+from rl4co_tpu.envs.eda.dpp import DPP, MDPP
 
 ENV_REGISTRY = {
     "pdp": PDP,
@@ -26,6 +27,8 @@ ENV_REGISTRY = {
     "mcp": MCP,
     "smtwtp": SMTWTP,
     "ffsp": FFSP,
+    "dpp": DPP,
+    "mdpp": MDPP,
     "tsp": TSP,
     "cvrp": CVRP,
     "op": OP,

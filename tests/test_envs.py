@@ -112,3 +112,37 @@ def test_ffsp_rollout_completes():
     assert (np.asarray(reward) < 0).all()
     # all jobs completed all stages
     assert (np.asarray(state.job_location)[:, :4] == 2).all()
+
+
+def test_dpp_rollout_and_validity():
+    from rl4co_tpu.envs.eda.dpp import DPP
+
+    env = DPP(size=6, max_decaps=5, num_keepout_max=8, num_freq=10)
+    instances, state, actions, reward = env.rollout_random(jax.random.PRNGKey(0), 4)
+    assert np.isfinite(np.asarray(reward)).all()
+    for b in range(4):
+        env.check_solution_validity(
+            jax.tree_util.tree_map(lambda x: x[b], instances),
+            np.asarray(actions)[b],
+        )
+
+
+def test_mdpp_reward_finite():
+    import jax.numpy as jnp
+    from rl4co_tpu.envs.eda.dpp import MDPP
+
+    env = MDPP(size=6, max_decaps=4, num_keepout_max=6, num_freq=8)
+    inst = env.generate_batch(jax.random.PRNGKey(1), 2)
+    state = env.reset_batch(inst)
+    actions = []
+    for t in range(4):
+        mask = env.action_mask_batch(state)
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        a = jax.random.categorical(
+            jax.random.fold_in(jax.random.PRNGKey(2), t), logits, axis=-1
+        )
+        state = env.step_batch(state, a)
+        actions.append(a)
+    acts = jnp.stack(actions, axis=1)
+    r = env.reward_batch(state, acts)
+    assert np.isfinite(np.asarray(r)).all()

@@ -161,6 +161,18 @@ class MTVRPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
 
 
+class DPPContext(nn.Module):
+    """Zero context (state captured via placements; reference `context.py:216-231`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        return jnp.zeros(
+            (embeddings.shape[0], self.embed_dim), dtype=embeddings.dtype
+        )
+
+
 class SVRPContext(nn.Module):
     """current node embedding only (reference `context.py:169-191`)."""
 
@@ -222,6 +234,8 @@ class MCPContext(nn.Module):
 CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "smtwtp": SMTWTPContext,
     "svrp": SVRPContext,
+    "dpp": DPPContext,
+    "mdpp": DPPContext,
     "mtvrp": MTVRPContext,
     "flp": FLPContext,
     "mcp": MCPContext,

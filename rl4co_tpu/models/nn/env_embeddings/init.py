@@ -185,6 +185,54 @@ class MTVRPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, node_emb], axis=-2)
 
 
+class DPPInitEmbedding(nn.Module):
+    """Grid-cell coords + distance-from-probe (reference `init.py:283-304`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        keepout = instance["keepout"]
+        n = keepout.shape[-1]
+        size = int(n ** 0.5)
+        xy = jnp.stack(jnp.meshgrid(jnp.arange(size), jnp.arange(size)), axis=-1)
+        locs = xy.reshape(-1, 2).astype(jnp.float32) / size
+        locs_b = jnp.broadcast_to(locs[None], (keepout.shape[0], n, 2))
+        probe_loc = locs[instance["probe"]]  # [B, 2]
+        dist = jnp.linalg.norm(locs_b - probe_loc[:, None, :], axis=-1)[..., None]
+        half = self.embed_dim // 2
+        node = nn.Dense(half, use_bias=self.use_bias, name="init_embed")(locs_b)
+        probe = nn.Dense(self.embed_dim - half, use_bias=self.use_bias,
+                         name="init_embed_probe")(dist)
+        return jnp.concatenate([node, probe], axis=-1)
+
+
+class MDPPInitEmbedding(nn.Module):
+    """Coords + min-distance-to-any-probe (reference `init.py:307-332`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        probe_mask = instance["probe_mask"]
+        n = probe_mask.shape[-1]
+        size = int(n ** 0.5)
+        xy = jnp.stack(jnp.meshgrid(jnp.arange(size), jnp.arange(size)), axis=-1)
+        locs = xy.reshape(-1, 2).astype(jnp.float32) / size
+        dist = jnp.linalg.norm(locs[:, None] - locs[None, :], axis=-1)  # [N, N]
+        dist_b = jnp.where(probe_mask[:, None, :], dist[None], jnp.inf)
+        min_dist = dist_b.min(axis=-1)[..., None]  # [B, N, 1]
+        locs_b = jnp.broadcast_to(locs[None], (probe_mask.shape[0], n, 2))
+        node = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed")(locs_b)
+        probe = nn.Dense(self.embed_dim, use_bias=self.use_bias,
+                         name="init_embed_probe_distance")(min_dist)
+        return nn.Dense(self.embed_dim, use_bias=self.use_bias, name="project_out")(
+            jnp.concatenate([node, probe], axis=-1)
+        )
+
+
 class SVRPInitEmbedding(nn.Module):
     """Depot (xy); customers (xy, required skill) (reference `init.py:283-310`)."""
 
@@ -254,6 +302,8 @@ class MCPInitEmbedding(nn.Module):
 INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "smtwtp": SMTWTPInitEmbedding,
     "svrp": SVRPInitEmbedding,
+    "dpp": DPPInitEmbedding,
+    "mdpp": MDPPInitEmbedding,
     "mtvrp": MTVRPInitEmbedding,
     "flp": FLPInitEmbedding,
     "mcp": MCPInitEmbedding,

@@ -133,3 +133,22 @@ def test_mdam_train_and_eval():
     res = ev(state.params, env.generate_batch(jax.random.PRNGKey(2), 3),
              jax.random.PRNGKey(3))
     assert float(res["max_reward"]) >= float(res["reward"]) - 1e-6
+
+
+def test_glop_random_insertion_and_revision():
+    import jax.numpy as jnp
+    from rl4co_tpu.models.zoo.glop import GLOP, batched_random_insertion
+    from rl4co_tpu.utils.ops import get_tour_length
+
+    locs = jax.random.uniform(jax.random.PRNGKey(0), (4, 40, 2))
+    tours = batched_random_insertion(locs, jax.random.PRNGKey(1))
+    for b in range(4):
+        assert sorted(np.asarray(tours[b]).tolist()) == list(range(40))
+    base_len = jax.vmap(lambda lo, t: get_tour_length(lo[t]))(locs, tours)
+
+    glop = GLOP(seg_len=10, n_rounds=3)
+    tours2, len2 = glop.improve(locs, tours, jax.random.PRNGKey(3))
+    for b in range(4):
+        assert sorted(np.asarray(tours2[b]).tolist()) == list(range(40))
+    # revision never worsens the tour it starts from
+    assert (np.asarray(len2) <= np.asarray(base_len) + 1e-5).all()

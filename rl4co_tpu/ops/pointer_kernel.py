@@ -11,6 +11,11 @@ single kernel launch per decode step.
 Forward = Pallas; backward = `jax.vjp` of the identical jnp reference
 implementation (recompute — the decode step is cheap relative to its
 memory traffic, classic rematerialization trade).
+
+Status: numerics + gradients validated against the XLA reference (interpret
+mode, `tests/test_pointer_kernel.py`). On this image's tunneled TPU backend
+the Mosaic compile stalls, so `AttentionModelPolicy(pointer_impl="pallas")`
+remains opt-in; the default decode path is XLA.
 """
 
 from __future__ import annotations

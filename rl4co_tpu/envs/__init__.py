@@ -16,6 +16,7 @@ from rl4co_tpu.envs.graph.flp import FLP
 from rl4co_tpu.envs.graph.mcp import MCP
 from rl4co_tpu.envs.scheduling.smtwtp import SMTWTP
 from rl4co_tpu.envs.scheduling.ffsp import FFSP
+from rl4co_tpu.envs.scheduling.fjsp import FJSP, JSSP
 from rl4co_tpu.envs.eda.dpp import DPP, MDPP
 
 ENV_REGISTRY = {
@@ -27,6 +28,8 @@ ENV_REGISTRY = {
     "mcp": MCP,
     "smtwtp": SMTWTP,
     "ffsp": FFSP,
+    "fjsp": FJSP,
+    "jssp": JSSP,
     "dpp": DPP,
     "mdpp": MDPP,
     "tsp": TSP,

@@ -14,3 +14,4 @@ from rl4co_tpu.models.zoo.n2s import N2SPolicy, n2s_act  # noqa: F401
 from rl4co_tpu.models.zoo.neuopt import NeuOptPolicy, neuopt_act  # noqa: F401
 from rl4co_tpu.models.zoo.eas import ActiveSearch, EASEmb  # noqa: F401
 from rl4co_tpu.models.zoo.ptrnet import PointerNetwork, PointerNetworkModel  # noqa: F401
+from rl4co_tpu.models.zoo.l2d import L2DModel, L2DPolicy, l2d_rollout  # noqa: F401

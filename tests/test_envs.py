@@ -146,3 +146,19 @@ def test_mdpp_reward_finite():
     acts = jnp.stack(actions, axis=1)
     r = env.reward_batch(state, acts)
     assert np.isfinite(np.asarray(r)).all()
+
+
+def test_fjsp_jssp_rollout_and_lower_bound_invariant():
+    from rl4co_tpu.envs.scheduling.fjsp import FJSP, INIT_FINISH, JSSP
+
+    for env in [FJSP(num_jobs=4, num_mas=3), JSSP(num_jobs=3, num_mas=3)]:
+        _, state, actions, reward = env.rollout_random(jax.random.PRNGKey(0), 4)
+        assert bool(np.asarray(state.done).all())
+        sched = np.asarray(state.op_scheduled)
+        pad = np.asarray(state.pad_mask)
+        ft = np.asarray(state.finish_times)
+        assert (sched | pad).all()
+        # reference invariant (`fjsp/utils.py:256`): LB == finish time for
+        # scheduled ops
+        lbs = np.asarray(jax.vmap(env.calc_lower_bound)(state))
+        assert np.allclose(lbs[sched], ft[sched], atol=1e-3)

@@ -152,3 +152,16 @@ def test_glop_random_insertion_and_revision():
         assert sorted(np.asarray(tours2[b]).tolist()) == list(range(40))
     # revision never worsens the tour it starts from
     assert (np.asarray(len2) <= np.asarray(base_len) + 1e-5).all()
+
+
+def test_l2d_trains_on_fjsp():
+    from rl4co_tpu.envs.scheduling.fjsp import FJSP
+    from rl4co_tpu.models.zoo.l2d import L2DModel, L2DPolicy
+
+    env = FJSP(num_jobs=3, num_mas=2, max_ops_per_job=3)
+    policy = L2DPolicy(embed_dim=16, num_encoder_layers=1, actor_hidden_dim=16)
+    model = L2DModel(env=env, policy=policy)
+    state = model.init(jax.random.PRNGKey(0))
+    ts = model.make_train_step(batch_size=3)
+    state, m = ts(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))

@@ -39,11 +39,17 @@ class TSP(Env):
     num_loc: int = 20
     min_loc: float = 0.0
     max_loc: float = 1.0
+    loc_distribution: str = "uniform"  # see rl4co_tpu/envs/distributions.py
 
     def generate(self, key: jax.Array) -> Instance:
-        locs = jax.random.uniform(
-            key, (self.num_loc, 2), minval=self.min_loc, maxval=self.max_loc
-        )
+        if self.loc_distribution == "uniform":
+            locs = jax.random.uniform(
+                key, (self.num_loc, 2), minval=self.min_loc, maxval=self.max_loc
+            )
+        else:
+            from rl4co_tpu.envs.distributions import get_sampler
+
+            locs = get_sampler(self.loc_distribution).sample(key, (self.num_loc, 2))
         return {"locs": locs}
 
     def reset(self, instance: Instance) -> TSPState:

@@ -43,3 +43,19 @@ def test_a2c_train_step():
     state, metrics = train_step(state, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["bl_val"]))
+
+
+def test_stepwise_ppo_l2d_fjsp():
+    from rl4co_tpu.envs.scheduling.fjsp import FJSP
+    from rl4co_tpu.models.zoo.l2d import L2DPolicy
+    from rl4co_tpu.rl.stepwise_ppo import StepwisePPO
+
+    env = FJSP(num_jobs=3, num_mas=2, max_ops_per_job=3)
+    policy = L2DPolicy(embed_dim=16, num_encoder_layers=1, actor_hidden_dim=16,
+                       with_critic=True)
+    algo = StepwisePPO(env=env, policy=policy, mini_batch_size=8)
+    state = algo.init(jax.random.PRNGKey(0))
+    ts = algo.make_train_step(batch_size=4)
+    state, m = ts(state, jax.random.PRNGKey(1))
+    for k in ("loss", "surrogate_loss", "value_loss", "entropy", "reward"):
+        assert np.isfinite(float(m[k])), k

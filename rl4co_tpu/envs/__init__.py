@@ -12,6 +12,8 @@ from rl4co_tpu.envs.routing.pdp import PDP
 from rl4co_tpu.envs.routing.cvrptw import CVRPTW
 from rl4co_tpu.envs.routing.mtvrp import MTVRP
 from rl4co_tpu.envs.routing.svrp import SVRP
+from rl4co_tpu.envs.routing.cvrpmvc import CVRPMVC
+from rl4co_tpu.envs.routing.tsp import DenseRewardTSP
 from rl4co_tpu.envs.graph.flp import FLP
 from rl4co_tpu.envs.graph.mcp import MCP
 from rl4co_tpu.envs.scheduling.smtwtp import SMTWTP
@@ -24,6 +26,7 @@ ENV_REGISTRY = {
     "cvrptw": CVRPTW,
     "mtvrp": MTVRP,
     "svrp": SVRP,
+    "cvrpmvc": CVRPMVC,
     "flp": FLP,
     "mcp": MCP,
     "smtwtp": SMTWTP,

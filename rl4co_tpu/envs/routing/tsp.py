@@ -113,3 +113,29 @@ class TSP(Env):
         sorted_pi = np.sort(actions, axis=-1)
         expected = np.arange(self.num_loc)
         assert (sorted_pi == expected).all(), "Invalid TSP tour (not a permutation)"
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseRewardTSP(TSP):
+    """TSP with stepwise (dense) rewards (reference `tsp/env.py:533-585`
+    `DenseRewardTSPEnv`, used with stepwise PPO): each step's reward is the
+    negative length of the newly added arc; the final step also pays the
+    closing arc back to the first node."""
+
+    def step_with_reward(self, state: TSPState, action: jax.Array):
+        action = action.astype(jnp.int32)
+        prev = state.locs[state.current_node]
+        cur = state.locs[action]
+        arc = jnp.linalg.norm(cur - prev)
+        arc = jnp.where(state.i == 0, 0.0, arc)  # first choice adds no arc
+        next_state = self.step(state, action)
+        closing = jnp.where(
+            next_state.done & ~state.done,
+            jnp.linalg.norm(cur - state.locs[next_state.first_node]),
+            0.0,
+        )
+        reward = jnp.where(state.done, 0.0, -(arc + closing))
+        return next_state, reward
+
+    def step_with_reward_batch(self, state, action):
+        return jax.vmap(self.step_with_reward)(state, action)

@@ -245,6 +245,7 @@ CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "cvrptw": VRPTWContext,
     "pdp": PDPContext,
     "cvrp": VRPContext,
+    "cvrpmvc": VRPContext,
     "sdvrp": VRPContext,
     "op": OPContext,
     "pctsp": PCTSPContext,

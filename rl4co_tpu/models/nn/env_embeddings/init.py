@@ -313,6 +313,7 @@ INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "cvrptw": VRPTWInitEmbedding,
     "pdp": PDPInitEmbedding,
     "cvrp": VRPInitEmbedding,
+    "cvrpmvc": VRPInitEmbedding,
     "sdvrp": VRPInitEmbedding,
     "op": OPInitEmbedding,
     "pctsp": PCTSPInitEmbedding,

@@ -26,7 +26,7 @@ def make_env(env_name, num_loc=10):
     return get_env(env_name, **ENV_KWARGS.get(env_name, {"num_loc": num_loc}))
 
 
-@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp", "atsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw", "flp", "mcp", "smtwtp", "mtvrp", "svrp"])
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp", "atsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw", "flp", "mcp", "smtwtp", "mtvrp", "svrp", "cvrpmvc"])
 def test_random_rollout(env_name):
     env = make_env(env_name, 10)
     key = jax.random.PRNGKey(0)
@@ -162,3 +162,25 @@ def test_fjsp_jssp_rollout_and_lower_bound_invariant():
         # scheduled ops
         lbs = np.asarray(jax.vmap(env.calc_lower_bound)(state))
         assert np.allclose(lbs[sched], ft[sched], atol=1e-3)
+
+
+def test_dense_reward_tsp_sums_to_tour_length():
+    import jax.numpy as jnp
+    from rl4co_tpu.envs.routing.tsp import DenseRewardTSP
+
+    env = DenseRewardTSP(num_loc=8)
+    instances = env.generate_batch(jax.random.PRNGKey(0), 3)
+    state = env.reset_batch(instances)
+    total = np.zeros(3)
+    actions = []
+    for t in range(8):
+        mask = env.action_mask_batch(state)
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        a = jax.random.categorical(jax.random.fold_in(jax.random.PRNGKey(1), t),
+                                   logits, axis=-1)
+        state, r = env.step_with_reward_batch(state, a)
+        total += np.asarray(r)
+        actions.append(a)
+    acts = jnp.stack(actions, axis=1)
+    final_reward = np.asarray(env.reward_batch(state, acts))
+    np.testing.assert_allclose(total, final_reward, rtol=1e-4)

@@ -165,3 +165,19 @@ def test_l2d_trains_on_fjsp():
     ts = model.make_train_step(batch_size=3)
     state, m = ts(state, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_ham_policy_on_pdp():
+    from rl4co_tpu.models.zoo.ham import HAMPolicy
+
+    env = get_env("pdp", num_loc=8)
+    policy = HAMPolicy(env_name="pdp", embed_dim=16, num_encoder_layers=1,
+                       feedforward_hidden=32, num_heads=2)
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    instances = env.generate_batch(jax.random.PRNGKey(1), 3)
+    out = rollout(policy, params, env, instances, jax.random.PRNGKey(2),
+                  DecodeSpec(kind="greedy", tanh_clipping=10.0))
+    assert np.isfinite(np.asarray(out.reward)).all()
+    for b in range(3):
+        inst_b = jax.tree_util.tree_map(lambda x: x[b], instances)
+        env.check_solution_validity(inst_b, np.asarray(out.actions)[b])

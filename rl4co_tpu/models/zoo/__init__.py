@@ -1,17 +1,52 @@
-from rl4co_tpu.models.zoo.am import AttentionModelPolicy  # noqa: F401
-from rl4co_tpu.models.zoo.pomo import POMO, make_pomo_policy  # noqa: F401
-from rl4co_tpu.models.zoo.symnco import SymNCO, SymNCOPolicy  # noqa: F401
-from rl4co_tpu.models.zoo.polynet import PolyNet, PolyNetPolicy  # noqa: F401
-from rl4co_tpu.models.zoo.mvmoe import MVMoEPolicy  # noqa: F401
-from rl4co_tpu.models.zoo.matnet import MatNetPolicy  # noqa: F401
-from rl4co_tpu.models.zoo.mdam import MDAM, MDAMPolicy  # noqa: F401
-from rl4co_tpu.models.zoo.nargnn import NARGNNEncoder, NonAutoregressivePolicy  # noqa: F401
-from rl4co_tpu.models.zoo.deepaco import DeepACO, run_ant_system  # noqa: F401
-from rl4co_tpu.models.zoo.gfacs import GFACS, GFACSEncoder  # noqa: F401
-from rl4co_tpu.models.zoo.glop import GLOP, batched_random_insertion  # noqa: F401
-from rl4co_tpu.models.zoo.dact import DACTPolicy, ImprovementCritic, dact_act  # noqa: F401
-from rl4co_tpu.models.zoo.n2s import N2SPolicy, n2s_act  # noqa: F401
-from rl4co_tpu.models.zoo.neuopt import NeuOptPolicy, neuopt_act  # noqa: F401
-from rl4co_tpu.models.zoo.eas import ActiveSearch, EASEmb  # noqa: F401
-from rl4co_tpu.models.zoo.ptrnet import PointerNetwork, PointerNetworkModel  # noqa: F401
-from rl4co_tpu.models.zoo.l2d import L2DModel, L2DPolicy, l2d_rollout  # noqa: F401
+"""Model zoo. Exports are lazy (PEP 562) — several zoo modules import RL
+algorithms which import the policy engine, so eager imports here would
+create a cycle when `rl4co_tpu.rl` is imported first."""
+
+import importlib
+
+_EXPORTS = {
+    "AttentionModelPolicy": "am",
+    "POMO": "pomo",
+    "make_pomo_policy": "pomo",
+    "SymNCO": "symnco",
+    "SymNCOPolicy": "symnco",
+    "PolyNet": "polynet",
+    "PolyNetPolicy": "polynet",
+    "MVMoEPolicy": "mvmoe",
+    "MatNetPolicy": "matnet",
+    "MDAM": "mdam",
+    "MDAMPolicy": "mdam",
+    "HAMPolicy": "ham",
+    "NARGNNEncoder": "nargnn",
+    "NonAutoregressivePolicy": "nargnn",
+    "DeepACO": "deepaco",
+    "run_ant_system": "deepaco",
+    "GFACS": "gfacs",
+    "GFACSEncoder": "gfacs",
+    "GLOP": "glop",
+    "batched_random_insertion": "glop",
+    "DACTPolicy": "dact",
+    "ImprovementCritic": "dact",
+    "dact_act": "dact",
+    "N2SPolicy": "n2s",
+    "n2s_act": "n2s",
+    "NeuOptPolicy": "neuopt",
+    "neuopt_act": "neuopt",
+    "ActiveSearch": "eas",
+    "EASEmb": "eas",
+    "PointerNetwork": "ptrnet",
+    "PointerNetworkModel": "ptrnet",
+    "L2DModel": "l2d",
+    "L2DPolicy": "l2d",
+    "l2d_rollout": "l2d",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name):
+    module = _EXPORTS.get(name)
+    if module is None:
+        raise AttributeError(f"module 'rl4co_tpu.models.zoo' has no attribute {name!r}")
+    mod = importlib.import_module(f"rl4co_tpu.models.zoo.{module}")
+    return getattr(mod, name)

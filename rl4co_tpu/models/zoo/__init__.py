@@ -34,6 +34,7 @@ _EXPORTS = {
     "neuopt_act": "neuopt",
     "ActiveSearch": "eas",
     "EASEmb": "eas",
+    "EASLay": "eas",
     "PointerNetwork": "ptrnet",
     "PointerNetworkModel": "ptrnet",
     "L2DModel": "l2d",

@@ -84,6 +84,92 @@ class ActiveSearch:
 
 
 @dataclasses.dataclass(frozen=True)
+class EASLay:
+    """EAS-Lay: fine-tune a small residual layer instead of the embeddings
+    (reference `eas/decoder.py:12-60` injects it on the pointer glimpse; here
+    the residual MLP acts on the encoder output embeddings feeding the
+    decoder cache — same trainable-bottleneck idea, insertion point noted as
+    a divergence)."""
+
+    env: Env
+    policy: ConstructivePolicy
+    max_iters: int = 200
+    lr: float = 4.1e-3
+    eas_lambda: float = 0.013
+    hidden_dim: int = 0  # 0 -> embed_dim
+    tanh_clipping: float = 10.0
+
+    def search(self, params, instances, key: jax.Array):
+        spec, s = _multistart_spec(self.env, self.tanh_clipping)
+        spec_eval = dataclasses.replace(
+            spec, kind="evaluate", multistart=False, num_starts=0
+        )
+        embeddings = self.policy.apply(params, instances, method="encode")
+        b, n, d = embeddings.shape
+        h = self.hidden_dim or d
+        k0, key = jax.random.split(key)
+        eas = {
+            "w1": 0.01 * jax.random.normal(k0, (d, h)),
+            "b1": jnp.zeros((h,)),
+            "w2": jnp.zeros((h, d)),  # zero-init: starts as identity residual
+            "b2": jnp.zeros((d,)),
+        }
+        tx = optax.adamw(self.lr, weight_decay=1e-6)
+        opt_state = tx.init(eas)
+        t = self.env.max_steps
+
+        def apply_eas(eas, emb):
+            hmid = jax.nn.relu(emb @ eas["w1"] + eas["b1"])
+            return emb + hmid @ eas["w2"] + eas["b2"]
+
+        def loss_fn(eas, best_actions, have_best, k):
+            emb = apply_eas(eas, embeddings)
+            cache = self.policy.apply(params, emb, method="precompute")
+            out = rollout_from_cache(
+                self.policy, params, self.env, instances, cache, k, spec
+            )
+            reward = unbatchify(out.reward, s)
+            ll = unbatchify(out.log_likelihood, s)
+            adv = reward - reward.mean(axis=-1, keepdims=True)
+            rl_loss = -(adv * ll).mean()
+            out_best = rollout_from_cache(
+                self.policy, params, self.env, instances, cache, k, spec_eval,
+                replay_actions=best_actions,
+            )
+            il_loss = -jnp.where(have_best, out_best.log_likelihood, 0.0).mean()
+            loss = rl_loss + self.eas_lambda * il_loss
+            iter_best = reward.max(axis=-1)
+            idx = reward.argmax(axis=-1)
+            acts = unbatchify(out.actions, s)
+            iter_best_actions = jnp.take_along_axis(
+                acts, idx[:, None, None], axis=1
+            )[:, 0]
+            return loss, (iter_best, iter_best_actions)
+
+        @jax.jit
+        def step(eas, opt_state, best, best_actions, have_best, k):
+            grads, (iter_best, iter_best_actions) = jax.grad(
+                loss_fn, has_aux=True
+            )(eas, best_actions, have_best, k)
+            updates, opt_state = tx.update(grads, opt_state, eas)
+            eas = optax.apply_updates(eas, updates)
+            improved = iter_best > best
+            best = jnp.where(improved, iter_best, best)
+            best_actions = jnp.where(improved[:, None], iter_best_actions, best_actions)
+            return eas, opt_state, best, best_actions, have_best | improved
+
+        best = jnp.full((b,), -jnp.inf)
+        best_actions = jnp.zeros((b, t), dtype=jnp.int32)
+        have_best = jnp.zeros((b,), dtype=bool)
+        for it in range(self.max_iters):
+            eas, opt_state, best, best_actions, have_best = step(
+                eas, opt_state, best, best_actions, have_best,
+                jax.random.fold_in(key, it),
+            )
+        return {"eas_params": eas, "best_reward": best, "best_actions": best_actions}
+
+
+@dataclasses.dataclass(frozen=True)
 class EASEmb:
     """EAS-Emb: optimize the encoder output embeddings per instance
     (reference `eas/search.py`, lr 4.1e-3, λ=0.013, dihedral-8 augment)."""

@@ -37,3 +37,14 @@ def test_eas_emb_improves():
     assert res["best_reward"].shape == (2,)
     assert np.isfinite(np.asarray(res["best_reward"])).all()
     assert res["embeddings"].shape == (2, 6, 16)
+
+
+def test_eas_lay_improves():
+    from rl4co_tpu.models.zoo.eas import EASLay
+
+    env, policy, params = setup()
+    instances = env.generate_batch(jax.random.PRNGKey(1), 2)
+    search = EASLay(env=env, policy=policy, max_iters=5, hidden_dim=8)
+    res = search.search(params, instances, jax.random.PRNGKey(2))
+    assert res["best_reward"].shape == (2,)
+    assert np.isfinite(np.asarray(res["best_reward"])).all()

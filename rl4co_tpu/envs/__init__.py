@@ -13,6 +13,7 @@ from rl4co_tpu.envs.routing.cvrptw import CVRPTW
 from rl4co_tpu.envs.routing.mtvrp import MTVRP
 from rl4co_tpu.envs.routing.svrp import SVRP
 from rl4co_tpu.envs.routing.cvrpmvc import CVRPMVC
+from rl4co_tpu.envs.routing.mdcpdp import MDCPDP
 from rl4co_tpu.envs.routing.tsp import DenseRewardTSP
 from rl4co_tpu.envs.graph.flp import FLP
 from rl4co_tpu.envs.graph.mcp import MCP
@@ -27,6 +28,7 @@ ENV_REGISTRY = {
     "mtvrp": MTVRP,
     "svrp": SVRP,
     "cvrpmvc": CVRPMVC,
+    "mdcpdp": MDCPDP,
     "flp": FLP,
     "mcp": MCP,
     "smtwtp": SMTWTP,

@@ -110,6 +110,27 @@ class PDPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(cur)
 
 
+class MDCPDPContext(nn.Module):
+    """current node embedding + (carry, remaining capacity)
+    (reference `context.py:302-320`)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        cap = jnp.take_along_axis(
+            state.capacity, state.current_depot[:, None], axis=-1
+        )[:, 0]
+        feats = jnp.stack(
+            [state.current_carry.astype(jnp.float32),
+             (cap - state.current_carry).astype(jnp.float32)],
+            axis=-1,
+        )
+        ctx = jnp.concatenate([cur, feats.astype(cur.dtype)], axis=-1)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
 class MTSPContext(nn.Module):
     """current node embedding + projected dynamic features
     (remaining agents, current length, max subtour length, distance from
@@ -244,6 +265,7 @@ CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "mtsp": MTSPContext,
     "cvrptw": VRPTWContext,
     "pdp": PDPContext,
+    "mdcpdp": MDCPDPContext,
     "cvrp": VRPContext,
     "cvrpmvc": VRPContext,
     "sdvrp": VRPContext,

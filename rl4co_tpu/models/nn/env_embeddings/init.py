@@ -139,6 +139,26 @@ class PDPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, pick_emb, delivery_emb], axis=-2)
 
 
+class MDCPDPInitEmbedding(nn.Module):
+    """Depots; pickups (with paired delivery coords); deliveries
+    (reference `init.py:404-430`)."""
+
+    embed_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        depots = instance["depots"]        # [B, A, 2]
+        locs = instance["locs"]            # [B, N, 2]
+        half = locs.shape[-2] // 2
+        pick_feats = jnp.concatenate([locs[:, :half], locs[:, half:]], axis=-1)
+        delivery_feats = locs[:, half:]
+        depot_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_depot")(depots)
+        pick_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_pick")(pick_feats)
+        delivery_emb = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="init_embed_delivery")(delivery_feats)
+        return jnp.concatenate([depot_emb, pick_emb, delivery_emb], axis=-2)
+
+
 class MTSPInitEmbedding(nn.Module):
     """Depot and city coordinates embedded separately (reference `init.py:363-379`)."""
 
@@ -312,6 +332,7 @@ INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "mtsp": MTSPInitEmbedding,
     "cvrptw": VRPTWInitEmbedding,
     "pdp": PDPInitEmbedding,
+    "mdcpdp": MDCPDPInitEmbedding,
     "cvrp": VRPInitEmbedding,
     "cvrpmvc": VRPInitEmbedding,
     "sdvrp": VRPInitEmbedding,

@@ -14,6 +14,7 @@ _EXPORTS = {
     "PolyNetPolicy": "polynet",
     "MVMoEPolicy": "mvmoe",
     "MatNetPolicy": "matnet",
+    "MatNetFFSPPolicy": "matnet_ffsp",
     "MDAM": "mdam",
     "MDAMPolicy": "mdam",
     "HAMPolicy": "ham",

@@ -181,3 +181,25 @@ def test_ham_policy_on_pdp():
     for b in range(3):
         inst_b = jax.tree_util.tree_map(lambda x: x[b], instances)
         env.check_solution_validity(inst_b, np.asarray(out.actions)[b])
+
+
+def test_matnet_ffsp_policy():
+    from rl4co_tpu.envs.scheduling.ffsp import FFSP
+    from rl4co_tpu.models.zoo.matnet_ffsp import MatNetFFSPPolicy
+    from rl4co_tpu.rl.reinforce import REINFORCE
+
+    env = FFSP(num_stage=2, num_machine=3, num_job=4)
+    policy = MatNetFFSPPolicy(num_stage=2, num_machine=3, embed_dim=16,
+                              num_heads=2, num_encoder_layers=1,
+                              feedforward_hidden=32)
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    instances = env.generate_batch(jax.random.PRNGKey(1), 3)
+    out = rollout(policy, params, env, instances, jax.random.PRNGKey(2),
+                  DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    assert (np.asarray(out.reward) < 0).all()
+    algo = REINFORCE(env=env, policy=policy, baseline="mean",
+                     train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    state = algo.init(jax.random.PRNGKey(3))
+    ts = algo.make_train_step(batch_size=2)
+    state, m = ts(state, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["loss"]))

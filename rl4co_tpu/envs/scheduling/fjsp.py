@@ -219,9 +219,12 @@ class FJSP(Env):
 
     def calc_lower_bound(self, state: FJSPState) -> jax.Array:
         o = self.n_ops_max
-        # predecessor finish time (op-1 within the same job, else 0)
+        # predecessor finish time (op-1 within the same job, else 0);
+        # "first op of job" from the static structure (reference builds the
+        # pred adjacency once at reset, `fjsp/env.py:120-133`)
+        is_first = jnp.zeros((o,), bool).at[state.start_op].set(True)
         prev_finish = jnp.concatenate([jnp.zeros((1,)), state.finish_times[:-1]])
-        maybe_start = jnp.where(state.ops_seq_order > 0, prev_finish, 0.0)
+        maybe_start = jnp.where(~is_first, prev_finish, 0.0)
         wait = jnp.clip(state.busy_until[:, None] - maybe_start[None, :], 0.0)
         ptw = jnp.where(state.proc_times == 0, 0.0, state.proc_times + wait)
         ops_proc = ptw.sum(0) / (jnp.maximum((state.proc_times > 0).sum(0), 0) + 1e-9)
@@ -239,8 +242,10 @@ class FJSP(Env):
         return jnp.nan_to_num(lbs, nan=0.0)
 
     def op_is_ready(self, state: FJSPState) -> jax.Array:
+        o = self.n_ops_max
+        is_first = jnp.zeros((o,), bool).at[state.start_op].set(True)
         prev_finish = jnp.concatenate([jnp.zeros((1,)), state.finish_times[:-1]])
-        pred_done = jnp.where(state.ops_seq_order > 0, prev_finish, 0.0) <= state.time
+        pred_done = jnp.where(~is_first, prev_finish, 0.0) <= state.time
         return pred_done & ~state.op_scheduled
 
     @property
@@ -287,6 +292,52 @@ class JSSP(FJSP):
     @property
     def n_ops_max(self) -> int:
         return self.num_jobs * self.num_mas
+
+    # JSSP actions select a JOB; the machine is implied by the next op's
+    # unique eligibility (reference `jssp/env.py:100-105` _translate_action).
+
+    @property
+    def num_actions(self) -> int:
+        return 1 + self.num_jobs
+
+    def action_mask(self, state: FJSPState) -> jax.Array:
+        feasible_jm = self._job_machine_feasible(state)  # [J, M]
+        feasible_job = feasible_jm.any(axis=-1)
+        return jnp.concatenate([state.done[None], feasible_job & ~state.done])
+
+    def _make_step(self, state: FJSPState, action: jax.Array) -> FJSPState:
+        job = action  # already 0-based job index
+        op = state.next_op[job]
+        machine = jnp.argmax(state.orig_proc_times[:, op] > 0)
+        proc = state.proc_times[machine, op]
+        finish = state.time + proc
+        return state.replace(
+            job_in_process=state.job_in_process.at[job].set(True),
+            op_scheduled=state.op_scheduled.at[op].set(True),
+            start_times=state.start_times.at[op].set(state.time),
+            finish_times=state.finish_times.at[op].set(finish),
+            ma_of_op=state.ma_of_op.at[op].set(machine.astype(jnp.int32)),
+            busy_until=state.busy_until.at[machine].set(finish),
+            proc_times=state.proc_times.at[:, op].set(0.0),
+            ops_seq_order=jnp.maximum(
+                state.ops_seq_order - state.job_ops_adj[job].astype(jnp.int32), 0
+            ),
+        )
+
+    def _transit_guard(self, s):
+        return ~self._job_machine_feasible(s).any() & ~s.done
+
+    def step(self, state: FJSPState, action: jax.Array) -> FJSPState:
+        action = action.astype(jnp.int32)
+        is_noop = action == 0
+        new = jax.lax.cond(
+            is_noop, lambda s: s, lambda s: self._make_step(s, action - 1), state
+        )
+        new = jax.lax.while_loop(self._transit_guard, self._transit_once, new)
+        new = new.replace(i=state.i + 1)
+        return jax.tree_util.tree_map(
+            lambda n_, o: jnp.where(state.done, o, n_), new, state
+        )
 
     def generate(self, key: jax.Array) -> Instance:
         kp, km = jax.random.split(key)

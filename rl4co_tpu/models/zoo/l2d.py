@@ -75,8 +75,11 @@ class L2DPolicy(nn.Module):
         prev_finish = jnp.concatenate(
             [jnp.zeros((b, 1)), state.finish_times[:, :-1]], axis=1
         )
+        is_first = jax.vmap(
+            lambda so: jnp.zeros((o,), bool).at[so].set(True)
+        )(state.start_op)
         is_ready = (
-            (jnp.where(state.ops_seq_order > 0, prev_finish, 0.0) <= state.time[:, None])
+            (jnp.where(~is_first, prev_finish, 0.0) <= state.time[:, None])
             & ~state.op_scheduled
         )
         ops_feats = jnp.stack(

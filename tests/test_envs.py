@@ -184,3 +184,23 @@ def test_dense_reward_tsp_sums_to_tour_length():
     acts = jnp.stack(actions, axis=1)
     final_reward = np.asarray(env.reward_batch(state, acts))
     np.testing.assert_allclose(total, final_reward, rtol=1e-4)
+
+
+def test_jssp_lower_bound_golden():
+    # Ported from the reference golden test (`tests/test_envs.py:115-136`):
+    # identical instance, actions, and expected lower bounds.
+    import jax.numpy as jnp
+    from rl4co_tpu.envs.scheduling.fjsp import JSSP
+
+    env = JSSP(num_jobs=2, num_mas=2)
+    inst = {
+        "proc_times": jnp.array([[1.0, 0.0, 0.0, 4.0], [0.0, 2.0, 3.0, 0.0]]),
+        "pad_mask": jnp.zeros((4,), bool),
+        "start_op_per_job": jnp.array([0, 2], jnp.int32),
+        "end_op_per_job": jnp.array([1, 3], jnp.int32),
+    }
+    state = env.reset(inst)
+    for a in [0, 1, 1]:
+        state = env.step(state, jnp.int32(a + 1))
+    lbs = np.asarray(env.calc_lower_bound(state))
+    np.testing.assert_allclose(lbs, [1.0, 5.0, 3.0, 7.0])

@@ -61,7 +61,10 @@ def ant_system_step(
     actions = out.actions
     reward = out.reward
     if local_search_fn is not None:
-        actions, reward = local_search_fn(instances, actions, reward)
+        from rl4co_tpu.utils.ops import batchify
+
+        inst_tiled = batchify(instances, n_ants)  # match the flat ant batch
+        actions, reward = local_search_fn(inst_tiled, actions, reward)
     reward_g = unbatchify(reward, n_ants)   # [B, ants]
     actions_g = unbatchify(actions, n_ants)  # [B, ants, T]
 
@@ -138,6 +141,7 @@ class DeepACO:
     n_ants_train: int = 30
     n_ants_eval: int = 48
     n_iterations_eval: int = 10
+    use_local_search: bool = False  # native C++ NLS inside the ACO loop
     aco_alpha: float = 1.0
     aco_beta: float = 1.0
     aco_decay: float = 0.95
@@ -212,7 +216,25 @@ class DeepACO:
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
+    def _local_search_fn(self):
+        """Native C++ local search as a jit-safe callback (reference NLS,
+        `antsystem.py:173-231`); tsp/cvrp only."""
+        if not self.use_local_search:
+            return None
+        from rl4co_tpu.envs.routing.local_search import (
+            make_cvrp_ls_fn,
+            make_tsp_ls_fn,
+        )
+
+        if self.env.name == "tsp":
+            return make_tsp_ls_fn()
+        if self.env.name == "cvrp":
+            return make_cvrp_ls_fn()
+        return None
+
     def make_eval_step(self, spec=None):
+        ls_fn = self._local_search_fn()
+
         def eval_step(params, instances, key):
             heat = self.encoder.apply(params, instances)
             _, best_reward, _ = run_ant_system(
@@ -220,6 +242,7 @@ class DeepACO:
                 n_ants=self.n_ants_eval,
                 n_iterations=self.n_iterations_eval,
                 alpha=self.aco_alpha, beta=self.aco_beta, decay=self.aco_decay,
+                local_search_fn=ls_fn,
             )
             return {"reward": best_reward.mean(), "max_reward": best_reward.max()}
 

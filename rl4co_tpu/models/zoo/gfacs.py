@@ -136,7 +136,7 @@ class GFACS(DeepACO):
         }
         return tb_loss, metrics
 
-    def make_eval_step(self, spec=None):
+    def make_eval_step(self, spec=None):  # noqa: D102
         def eval_step(params, instances, key):
             from rl4co_tpu.models.zoo.deepaco import run_ant_system
 
@@ -146,6 +146,7 @@ class GFACS(DeepACO):
                 n_ants=self.n_ants_eval,
                 n_iterations=self.n_iterations_eval,
                 alpha=self.aco_alpha, beta=self.aco_beta, decay=self.aco_decay,
+                local_search_fn=self._local_search_fn(),
             )
             return {"reward": best_reward.mean(), "max_reward": best_reward.max()}
 

@@ -98,3 +98,21 @@ def test_tsp_ls_fn_inside_jit():
 
     (new_tours, new_reward), reward0 = run(instances, tours)
     assert (np.asarray(new_reward) >= np.asarray(reward0) - 1e-5).all()
+
+
+def test_deepaco_nls_improves():
+    from rl4co_tpu.models.zoo.deepaco import DeepACO
+    from rl4co_tpu.models.zoo.nargnn import NARGNNEncoder
+
+    env = get_env("tsp", num_loc=12)
+    enc = NARGNNEncoder(env_name="tsp", embed_dim=16,
+                        num_layers_graph_encoder=2,
+                        num_layers_heatmap_generator=2)
+    plain = DeepACO(env=env, encoder=enc, n_ants_eval=6, n_iterations_eval=3)
+    nls = DeepACO(env=env, encoder=enc, n_ants_eval=6, n_iterations_eval=3,
+                  use_local_search=True)
+    state = plain.init(jax.random.PRNGKey(0))
+    val = env.generate_batch(jax.random.PRNGKey(1), 4)
+    r_plain = plain.make_eval_step()(state.params, val, jax.random.PRNGKey(2))
+    r_nls = nls.make_eval_step()(state.params, val, jax.random.PRNGKey(2))
+    assert float(r_nls["reward"]) >= float(r_plain["reward"]) - 1e-6

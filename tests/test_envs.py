@@ -204,3 +204,23 @@ def test_jssp_lower_bound_golden():
         state = env.step(state, jnp.int32(a + 1))
     lbs = np.asarray(env.calc_lower_bound(state))
     np.testing.assert_allclose(lbs, [1.0, 5.0, 3.0, 7.0])
+
+
+def test_fjsp_file_roundtrip(tmp_path):
+    # reference `tests/test_envs.py:146-158` write -> parse roundtrip
+    import os
+
+    from rl4co_tpu.envs.scheduling.fjsp import FJSP
+    from rl4co_tpu.envs.scheduling.parser import load_fjsp_dir, write_fjsp_file
+
+    env = FJSP(num_jobs=3, num_mas=2, max_ops_per_job=3)
+    instances = jax.device_get(env.generate_batch(jax.random.PRNGKey(0), 2))
+    for b in range(2):
+        inst = jax.tree_util.tree_map(lambda x: x[b], instances)
+        write_fjsp_file(os.path.join(tmp_path, f"inst_{b}.fjs"), inst)
+    loaded = load_fjsp_dir(str(tmp_path), n_ops_max=env.n_ops_max)
+    np.testing.assert_allclose(loaded["proc_times"], instances["proc_times"])
+    np.testing.assert_array_equal(loaded["pad_mask"], instances["pad_mask"])
+    np.testing.assert_array_equal(
+        loaded["start_op_per_job"], instances["start_op_per_job"]
+    )

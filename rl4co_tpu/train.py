@@ -51,10 +51,14 @@ def build(spec: WorkloadSpec, mesh=None, logger=None):
     pkw = dict(spec.policy_kwargs)
     train_spec = DecodeSpec(kind="sampling", tanh_clipping=spec.tanh_clipping)
 
-    if spec.model == "am":
+    if spec.model in ("am", "am-xl"):
         from rl4co_tpu.models import AttentionModelPolicy
         from rl4co_tpu.rl.reinforce import REINFORCE
 
+        if spec.model == "am-xl":
+            # reference `configs/experiment/routing/am-xl.yaml:22-27`:
+            # 6 encoder layers, instance norm, batch 2048
+            pkw = {"num_encoder_layers": 6, "normalization": "instance", **pkw}
         policy = AttentionModelPolicy(env_name=env.name, **pkw)
         algo = REINFORCE(env=env, policy=policy, baseline=spec.baseline,
                          train_spec=train_spec, lr=spec.lr)

@@ -77,3 +77,29 @@ def test_checkpoint_roundtrip(tmp_path):
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_solomon_loader(tmp_path):
+    from rl4co_tpu.data.solomon import load_solomon_instance
+
+    content = """R101
+
+VEHICLE
+NUMBER     CAPACITY
+  25         200
+
+CUSTOMER
+CUST NO.  XCOORD.   YCOORD.   DEMAND    READY TIME  DUE DATE   SERVICE TIME
+
+    0      35         35          0          0       230          0
+    1      41         49         10        161       171         10
+    2      35         17          7         50        60         10
+"""
+    p = os.path.join(tmp_path, "r101.txt")
+    with open(p, "w") as f:
+        f.write(content)
+    inst = load_solomon_instance(p)
+    assert inst["locs"].shape == (2, 2)
+    assert abs(inst["demand"][0] - 10 / 200) < 1e-6
+    assert inst["time_windows"].shape == (3, 2)
+    assert inst["capacity"] == 200.0

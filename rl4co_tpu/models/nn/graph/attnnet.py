@@ -44,8 +44,28 @@ class GraphAttentionNetwork(nn.Module):
     feedforward_hidden: int = 512
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
-        for i in range(self.num_layers):
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        h_old: Optional[jax.Array] = None,
+        return_hidden: bool = False,
+    ):
+        """Full stack by default. With ``h_old`` given, re-runs ONLY the last
+        layer on the cached pre-last-layer hidden state with a key mask — the
+        MDAM Embedding-Glimpse `encoder.change` (reference
+        `zoo/mdam/encoder.py`, used at `zoo/mdam/decoder.py:165-174`).
+        ``return_hidden`` additionally returns that pre-last hidden state."""
+        last_name = f"layer_{self.num_layers - 1}"
+        if h_old is not None:
+            return MultiHeadAttentionLayer(
+                self.embed_dim,
+                self.num_heads,
+                feedforward_hidden=self.feedforward_hidden,
+                normalization=self.normalization,
+                name=last_name,
+            )(h_old, mask)
+        for i in range(self.num_layers - 1):
             x = MultiHeadAttentionLayer(
                 self.embed_dim,
                 self.num_heads,
@@ -53,4 +73,14 @@ class GraphAttentionNetwork(nn.Module):
                 normalization=self.normalization,
                 name=f"layer_{i}",
             )(x, mask)
+        hidden = x
+        x = MultiHeadAttentionLayer(
+            self.embed_dim,
+            self.num_heads,
+            feedforward_hidden=self.feedforward_hidden,
+            normalization=self.normalization,
+            name=last_name,
+        )(x, mask)
+        if return_hidden:
+            return x, hidden
         return x

@@ -5,8 +5,11 @@ NARGNN encoder extended with a log-partition head (``logZ``,
 `gfacs/encoder.py:46-68`); training minimizes the squared trajectory-balance
 residual ``(log_likelihood + logZ − log_pb − β·advantage)²``
 (`gfacs/model.py:90-138`), with α/β annealed over epochs
-(`gfacs/model.py:75-88`). Local-search off-policy terms attach once the
-native local-search component lands (SURVEY.md §2.9).
+(`gfacs/model.py:75-88`). With ``train_with_local_search`` the encoder grows a
+second logZ head (`gfacs/policy.py:56-58`) and the loss adds an off-policy TB
+term over native-local-search-improved trajectories (`gfacs/model.py:126-138`),
+with the on-policy advantage blended as ``(1-α)·adv + α·ls_adv``
+(`gfacs/model.py:110-115`).
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from rl4co_tpu.models.zoo.nargnn import EdgeHeatmapGenerator, NARGNNEncoder
 from rl4co_tpu.models.nn.env_embeddings import env_init_embedding
 from rl4co_tpu.models.nn.env_embeddings.edge import env_edge_embedding
 from rl4co_tpu.models.nn.graph.gnn import SparseGNNEncoder
-from rl4co_tpu.utils.ops import unbatchify
+from rl4co_tpu.utils.ops import batchify, unbatchify
 
 
 class GFACSEncoder(nn.Module):
@@ -99,15 +102,39 @@ class GFACS(DeepACO):
     beta_flat_epochs: int = 5
     total_epochs: int = 100
     beta: float = 1.0
+    # Off-policy local-search training (reference `gfacs/model.py:40,110-138`):
+    # α blends the on-policy advantage with the LS-improved advantage and is
+    # annealed linearly over epochs (`gfacs/model.py:76-81`).
+    train_with_local_search: bool = False
+    alpha_min: float = 0.5
+    alpha_max: float = 1.0
+    alpha_flat_epochs: int = 5
+    alpha: float = 1.0
 
     def __post_init__(self):
+        if self.train_with_local_search and not self.use_local_search:
+            # reference asserts aco_kwargs["use_local_search"] (`deepaco/policy.py:92-93`)
+            object.__setattr__(self, "use_local_search", True)
         if self.encoder is None:
-            object.__setattr__(self, "encoder", GFACSEncoder(env_name=self.env.name))
+            object.__setattr__(
+                self,
+                "encoder",
+                GFACSEncoder(
+                    env_name=self.env.name,
+                    z_out_dim=2 if self.train_with_local_search else 1,
+                ),
+            )
 
     def beta_at_epoch(self, epoch: int) -> float:
         denom = math.log(max(self.total_epochs - self.beta_flat_epochs, 2))
         return self.beta_min + (self.beta_max - self.beta_min) * min(
             math.log(epoch + 1) / denom, 1.0
+        )
+
+    def alpha_at_epoch(self, epoch: int) -> float:
+        denom = max(self.total_epochs - self.alpha_flat_epochs, 1)
+        return self.alpha_min + (self.alpha_max - self.alpha_min) * min(
+            epoch / denom, 1.0
         )
 
     def loss(self, params, _baseline_state, instances, key):
@@ -124,16 +151,54 @@ class GFACS(DeepACO):
         ll = unbatchify(out.log_likelihood, s)
         advantage = reward - reward.mean(axis=-1, keepdims=True)
         log_pb = unbatchify(log_pb_uniform(self.env.name, out.actions), s)
+
+        metrics = {}
+        weighted_advantage = advantage
+        ls_tb_loss = 0.0
+        if self.train_with_local_search:
+            ls_fn = self._local_search_fn()
+            if ls_fn is None:
+                raise ValueError(
+                    f"train_with_local_search unsupported for env {self.env.name!r}"
+                )
+            inst_tiled = batchify(instances, s)
+            ls_actions, ls_reward_flat = ls_fn(
+                inst_tiled, jax.lax.stop_gradient(out.actions), out.reward
+            )
+            ls_actions = jax.lax.stop_gradient(ls_actions)
+            ls_reward = unbatchify(jax.lax.stop_gradient(ls_reward_flat), s)
+            ls_advantage = ls_reward - ls_reward.mean(axis=-1, keepdims=True)
+            weighted_advantage = (
+                advantage * (1.0 - self.alpha) + ls_advantage * self.alpha
+            )
+            # Replay the improved trajectories (Evaluate decoding, top_k=0 —
+            # reference `gfacs/policy.py:139-146`); first action forced with
+            # zero logprob, matching the multistart on-policy convention.
+            ls_spec = DecodeSpec(
+                kind="evaluate", multistart=True, num_starts=s,
+                temperature=self.temperature,
+            )
+            ls_out = nar_rollout(
+                self.env, instances, heat, kroll, ls_spec,
+                first_actions=ls_actions[:, 0], replay_actions=ls_actions,
+            )
+            ls_ll = unbatchify(ls_out.log_likelihood, s)
+            ls_log_pb = unbatchify(log_pb_uniform(self.env.name, ls_actions), s)
+            ls_forward = ls_ll + logZ[:, 1:2]
+            ls_backward = ls_log_pb + jax.lax.stop_gradient(ls_advantage) * self.beta
+            ls_tb_loss = jnp.square(ls_forward - ls_backward).mean()
+            metrics["ls_reward"] = ls_reward.mean()
+
         forward_flow = ll + logZ[:, 0:1]
-        backward_flow = log_pb + jax.lax.stop_gradient(advantage) * self.beta
-        tb_loss = jnp.square(forward_flow - backward_flow).mean()
-        metrics = {
+        backward_flow = log_pb + jax.lax.stop_gradient(weighted_advantage) * self.beta
+        tb_loss = jnp.square(forward_flow - backward_flow).mean() + ls_tb_loss
+        metrics.update({
             "loss": tb_loss,
             "reward": reward.mean(),
             "best_ant_reward": reward.max(axis=-1).mean(),
             "logZ": logZ.mean(),
             "entropy": out.entropy.mean(),
-        }
+        })
         return tb_loss, metrics
 
     def make_eval_step(self, spec=None):  # noqa: D102

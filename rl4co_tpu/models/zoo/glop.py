@@ -142,3 +142,119 @@ class GLOP:
         k1, k2 = jax.random.split(key)
         tours = batched_random_insertion(locs, k1)
         return self.improve(locs, tours, k2)
+
+
+# ---------------------------------------------------------------------------
+# VRP adapter (reference `glop/adapter/vrp_adapter.py`): decompose a CVRP
+# solution into its routes, re-solve each route as a sub-TSP through the
+# depot, and recompose — here with static shapes: routes live on a [B, R, L]
+# grid padded with depot index 0. Padded entries cost nothing (depot→depot
+# distance is 0), so cheapest insertion parks them for free; no numba/host
+# loop (`vrp_adapter.py:1-158` uses `@nb.njit` partitioners).
+# ---------------------------------------------------------------------------
+
+
+def vrp_route_cost(locs: jax.Array, actions: jax.Array) -> jax.Array:
+    """Total route cost of depot-separated actions [B, T] (0 = depot); the
+    vehicle starts and ends at the depot (row 0 of locs)."""
+    coords = jax.vmap(lambda lo, a: lo[a])(locs, actions)
+    depot = locs[:, 0:1]
+    path = jnp.concatenate([depot, coords, depot], axis=1)
+    return jnp.linalg.norm(path[:, 1:] - path[:, :-1], axis=-1).sum(axis=1)
+
+
+def partition_vrp_actions(actions: jax.Array, max_routes: int, max_len: int):
+    """actions [B, T] (0 = depot separator) -> route grid [B, R, L] of node
+    indices, depot-padded. Customers appearing after k depot visits belong to
+    route k (mirrors `_cvrp_action_partitioner`)."""
+    b, t = actions.shape
+    is_dep = actions == 0
+    rid = jnp.cumsum(is_dep, axis=1) - jnp.where(is_dep, 1, 0)  # route of each pos
+    # position within route = index − (index of the route's opening depot + 1)
+    idx = jnp.arange(t)[None, :]
+    start = jax.lax.cummax(jnp.where(is_dep, idx + 1, 0), axis=1)
+    pos = idx - start
+    # customers beyond the grid (rid ≥ R or pos ≥ L) fall into a dump slot
+    # rather than clip-colliding onto a real slot
+    valid = (~is_dep) & (rid < max_routes) & (pos < max_len)
+    flat = jnp.where(valid, rid * max_len + pos, max_routes * max_len)
+    grid = jnp.zeros((b, max_routes * max_len + 1), actions.dtype)
+    vals = jnp.where(valid, actions, 0)
+    grid = jax.vmap(lambda g, f, v: g.at[f].set(v, mode="drop"))(grid, flat, vals)
+    return grid[:, :-1].reshape(b, max_routes, max_len)
+
+
+@dataclasses.dataclass(frozen=True)
+class GLOPVRPAdapter:
+    """Re-solve every route of a CVRP solution as a sub-TSP (reference
+    `VRP2SubTSPAdapter`), accepting per-route improvements. Intra-route
+    reordering keeps route membership — and hence capacity feasibility —
+    unchanged."""
+
+    max_routes: int
+    max_route_len: int
+    min_node_count: int = 4  # routes smaller than this are left as-is
+
+    def improve(self, locs: jax.Array, actions: jax.Array, key: jax.Array):
+        """locs [B, N+1, 2] (depot row 0); actions [B, T] (0 = depot).
+        Returns (new_actions [B, R*(L+1)], cost [B])."""
+        b = locs.shape[0]
+        r, l = self.max_routes, self.max_route_len
+        routes = partition_vrp_actions(actions, r, l)          # [B, R, L]
+
+        # per-route sub-TSP coordinates: local node 0 = depot, 1.. = route
+        # nodes (depot-padded rows collapse onto the depot coordinate)
+        flat_nodes = routes.reshape(b, r * l)
+        coords = jax.vmap(lambda lo, nd: lo[nd])(locs, flat_nodes)
+        coords = coords.reshape(b, r, l, 2)
+        depot = jnp.broadcast_to(locs[:, 0:1, :][:, None], (b, r, 1, 2))
+        sub = jnp.concatenate([depot, coords], axis=2).reshape(b * r, l + 1, 2)
+
+        orders = batched_random_insertion(sub, key)            # [B*R, L+1] cycles
+        # rotate each cycle to start at the explicit depot (local index 0)
+        start = jnp.argmax(orders == 0, axis=1)
+        orders = jax.vmap(lambda o, s: jnp.roll(o, -s))(orders, start)
+        # orientation is free on a closed cycle; keep as-is
+        new_routes = jnp.where(
+            orders[:, 1:] > 0,
+            jnp.take_along_axis(
+                routes.reshape(b * r, l),
+                jnp.clip(orders[:, 1:] - 1, 0, l - 1),
+                axis=1,
+            ),
+            0,
+        )                                                      # [B*R, L]
+
+        old_cost = _route_len(sub, routes.reshape(b * r, l))
+        new_cost = _route_len(sub, new_routes)
+        n_nodes = (routes.reshape(b * r, l) > 0).sum(axis=1)
+        accept = (new_cost < old_cost) & (n_nodes >= self.min_node_count)
+        chosen = jnp.where(accept[:, None], new_routes, routes.reshape(b * r, l))
+
+        # recompose: depot separator + route nodes, per route
+        out = jnp.concatenate(
+            [jnp.zeros((b * r, 1), actions.dtype), chosen.astype(actions.dtype)],
+            axis=1,
+        ).reshape(b, r * (l + 1))
+
+        # Guard: if the grid was undersized, customers fell into the dump
+        # slot and the recomposed solution would be invalid (and spuriously
+        # cheap). Keep the original solution for those instances.
+        intact = (routes > 0).sum(axis=(1, 2)) == (actions > 0).sum(axis=1)
+        t = actions.shape[1]
+        width = max(t, r * (l + 1))
+        out = jnp.pad(out, ((0, 0), (0, width - out.shape[1])))
+        orig = jnp.pad(actions, ((0, 0), (0, width - t)))
+        out = jnp.where(intact[:, None], out, orig)
+        return out, vrp_route_cost(locs, out)
+
+
+def _route_len(sub: jax.Array, route_nodes: jax.Array) -> jax.Array:
+    """Length of depot→nodes→depot for one route; sub [M, L+1, 2] has the
+    depot at row 0 and route node i at row i+1; route_nodes [M, L] are global
+    indices used only for the depot-padding test (0 = padding)."""
+    coords = jnp.where(
+        (route_nodes > 0)[..., None], sub[:, 1:], sub[:, 0:1]
+    )  # padding collapses to depot
+    path = jnp.concatenate([sub[:, 0:1], coords, sub[:, 0:1]], axis=1)
+    return jnp.linalg.norm(path[:, 1:] - path[:, :-1], axis=-1).sum(axis=1)

@@ -24,6 +24,50 @@ def test_gfacs_train_step():
     assert np.isfinite(float(m["logZ"]))
 
 
+def test_gfacs_train_with_local_search():
+    """Off-policy LS TB term (reference `gfacs/model.py:126-138`): second logZ
+    head, ls_reward ≥ reward, finite loss."""
+    import pytest
+
+    try:
+        from rl4co_tpu.native import get_lib
+
+        get_lib()
+    except Exception:
+        pytest.skip("native lib build failed")
+    from rl4co_tpu.models.zoo.gfacs import GFACS, GFACSEncoder
+
+    env = get_env("tsp", num_loc=8)
+    enc = GFACSEncoder(env_name="tsp", embed_dim=16,
+                       num_layers_graph_encoder=2,
+                       num_layers_heatmap_generator=2,
+                       z_out_dim=2)
+    algo = GFACS(env=env, encoder=enc, n_ants_train=4, n_ants_eval=4,
+                 n_iterations_eval=2, train_with_local_search=True,
+                 alpha=0.5)
+    assert algo.use_local_search  # forced on (deepaco/policy.py:92-93)
+    state = algo.init(jax.random.PRNGKey(0))
+    instances = env.generate_batch(jax.random.PRNGKey(2), 2)
+    (loss, metrics), grads = jax.value_and_grad(algo.loss, has_aux=True)(
+        state.params, None, instances, jax.random.PRNGKey(1)
+    )
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+    assert np.isfinite(float(loss))
+    assert float(metrics["ls_reward"]) >= float(metrics["reward"]) - 1e-5
+
+
+def test_gfacs_alpha_beta_schedules():
+    from rl4co_tpu.models.zoo.gfacs import GFACS
+    env = get_env("tsp", num_loc=8)
+    algo = GFACS(env=env, total_epochs=20, alpha_min=0.5, alpha_max=1.0,
+                 beta_min=1.0, beta_max=2.0)
+    assert abs(algo.alpha_at_epoch(0) - 0.5) < 1e-9
+    assert abs(algo.alpha_at_epoch(100) - 1.0) < 1e-9
+    assert abs(algo.beta_at_epoch(0) - 1.0) < 1e-9
+    assert algo.beta_at_epoch(5) > 1.0
+    assert abs(algo.beta_at_epoch(1000) - 2.0) < 1e-9
+
+
 def test_gfacs_log_pb_cvrp():
     import jax.numpy as jnp
     from rl4co_tpu.models.zoo.gfacs import log_pb_uniform
@@ -133,6 +177,90 @@ def test_mdam_train_and_eval():
     res = ev(state.params, env.generate_batch(jax.random.PRNGKey(2), 3),
              jax.random.PRNGKey(3))
     assert float(res["max_reward"]) >= float(res["reward"]) - 1e-6
+
+
+def test_mdam_embedding_glimpse():
+    """EG (reference `mdam/decoder.py:165-174`): re-running the last encoder
+    layer with an all-True key mask must reproduce the full encoder output,
+    and the segmented EG eval path must run when eg_step_gap < max_steps."""
+    import jax.numpy as jnp
+    from rl4co_tpu.models.zoo.mdam import MDAM, MDAMPolicy
+
+    env = get_env("tsp", num_loc=6)
+    policy = MDAMPolicy(env_name="tsp", embed_dim=16, num_encoder_layers=2,
+                        feedforward_hidden=32, num_heads=2, num_paths=2,
+                        eg_step_gap=2)
+    algo = MDAM(env=env, policy=policy)
+    state = algo.init(jax.random.PRNGKey(0))
+    instances = env.generate_batch(jax.random.PRNGKey(1), 3)
+
+    emb, h_old = policy.apply(state.params, instances, method="encode_with_hidden")
+    full_mask = jnp.ones(emb.shape[:-1], dtype=bool)
+    emb2 = policy.apply(state.params, h_old, full_mask, method="change_embeddings")
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2), atol=1e-5)
+
+    ev = algo.make_eval_step()
+    res = ev(state.params, instances, jax.random.PRNGKey(2))
+    assert np.isfinite(float(res["reward"]))
+    assert float(res["max_reward"]) >= float(res["reward"]) - 1e-6
+
+
+def test_glop_vrp_adapter():
+    """GLOP VRP adapter (reference `glop/adapter/vrp_adapter.py`): per-route
+    sub-TSP re-solve never worsens cost and preserves route membership."""
+    import jax.numpy as jnp
+    from rl4co_tpu.models.zoo.glop import (
+        GLOPVRPAdapter,
+        partition_vrp_actions,
+        vrp_route_cost,
+    )
+    from rl4co_tpu.decoding import DecodeSpec
+    from rl4co_tpu.models.policies.constructive import rollout
+    from rl4co_tpu.models.zoo.am import AttentionModelPolicy
+
+    env = get_env("cvrp", num_loc=12)
+    policy = AttentionModelPolicy(env_name="cvrp", embed_dim=16,
+                                  num_encoder_layers=1,
+                                  feedforward_hidden=32, num_heads=2)
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    instances = env.generate_batch(jax.random.PRNGKey(1), 4)
+    out = rollout(policy, params, env, instances, jax.random.PRNGKey(2),
+                  DecodeSpec(kind="sampling"))
+
+    locs = jnp.concatenate(
+        [instances["depot"][:, None, :], instances["locs"]], axis=1
+    )
+    t = out.actions.shape[1]
+    base_cost = np.asarray(vrp_route_cost(locs, out.actions))
+    # sanity: matches env reward magnitude
+    np.testing.assert_allclose(base_cost, -np.asarray(out.reward), atol=1e-4)
+
+    adapter = GLOPVRPAdapter(max_routes=t, max_route_len=12, min_node_count=2)
+    new_actions, new_cost = jax.jit(adapter.improve)(
+        locs, out.actions, jax.random.PRNGKey(3)
+    )
+    assert (np.asarray(new_cost) <= base_cost + 1e-4).all()
+    # every customer appears exactly once before and after
+    for b in range(4):
+        old = sorted(x for x in np.asarray(out.actions[b]).tolist() if x > 0)
+        new = sorted(x for x in np.asarray(new_actions[b]).tolist() if x > 0)
+        assert old == new
+
+    # undersized grid must fall back to the original (still-valid) solution
+    small = GLOPVRPAdapter(max_routes=1, max_route_len=2, min_node_count=2)
+    fb_actions, fb_cost = small.improve(locs, out.actions, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(fb_cost), base_cost, atol=1e-4)
+    for b in range(4):
+        old = sorted(x for x in np.asarray(out.actions[b]).tolist() if x > 0)
+        new = sorted(x for x in np.asarray(fb_actions[b]).tolist() if x > 0)
+        assert old == new
+
+    # partition grid keeps all customers
+    grid = partition_vrp_actions(out.actions, t, 12)
+    for b in range(4):
+        old = sorted(x for x in np.asarray(out.actions[b]).tolist() if x > 0)
+        got = sorted(x for x in np.asarray(grid[b]).reshape(-1).tolist() if x > 0)
+        assert old == got
 
 
 def test_glop_random_insertion_and_revision():

@@ -14,6 +14,7 @@ from rl4co_tpu.envs.routing.mtvrp import MTVRP
 from rl4co_tpu.envs.routing.svrp import SVRP
 from rl4co_tpu.envs.routing.cvrpmvc import CVRPMVC
 from rl4co_tpu.envs.routing.mdcpdp import MDCPDP
+from rl4co_tpu.envs.routing.mpdp import MPDP
 from rl4co_tpu.envs.routing.tsp import DenseRewardTSP
 from rl4co_tpu.envs.graph.flp import FLP
 from rl4co_tpu.envs.graph.mcp import MCP
@@ -29,6 +30,7 @@ ENV_REGISTRY = {
     "svrp": SVRP,
     "cvrpmvc": CVRPMVC,
     "mdcpdp": MDCPDP,
+    "mpdp": MPDP,
     "flp": FLP,
     "mcp": MCP,
     "smtwtp": SMTWTP,

@@ -110,6 +110,32 @@ class PDPContext(nn.Module):
         return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(cur)
 
 
+class MPDPContext(nn.Module):
+    """mPDP: current node embedding + (agents remaining fraction, current
+    agent tour length, max tour length so far) — equity-aware stats in the
+    spirit of the Equity-Transformer objective."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, embeddings: jax.Array, state) -> jax.Array:
+        cur = gather_by_index(embeddings, state.current_node)
+        a = state.lengths.shape[-1]
+        cur_len = jnp.take_along_axis(
+            state.lengths, jnp.clip(state.count_depot, 0, a - 1)[:, None], axis=-1
+        )[:, 0]
+        feats = jnp.stack(
+            [
+                (a - 1 - state.count_depot).astype(jnp.float32) / a,
+                cur_len.astype(jnp.float32),
+                state.lengths.max(axis=-1).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        ctx = jnp.concatenate([cur, feats.astype(cur.dtype)], axis=-1)
+        return nn.Dense(self.embed_dim, use_bias=False, name="project_context")(ctx)
+
+
 class MDCPDPContext(nn.Module):
     """current node embedding + (carry, remaining capacity)
     (reference `context.py:302-320`)."""
@@ -266,6 +292,7 @@ CONTEXT_EMBEDDING_REGISTRY: dict[str, type] = {
     "cvrptw": VRPTWContext,
     "pdp": PDPContext,
     "mdcpdp": MDCPDPContext,
+    "mpdp": MPDPContext,
     "cvrp": VRPContext,
     "cvrpmvc": VRPContext,
     "sdvrp": VRPContext,

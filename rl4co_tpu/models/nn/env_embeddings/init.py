@@ -139,6 +139,42 @@ class PDPInitEmbedding(nn.Module):
         return jnp.concatenate([depot_emb, pick_emb, delivery_emb], axis=-2)
 
 
+class MPDPInitEmbedding(nn.Module):
+    """mPDP (Equity-Transformer): A+1 depot copies with a learned per-copy
+    offset (so agents' handover targets are distinguishable despite equal
+    coordinates); pickups with paired delivery coords; deliveries alone.
+    (The reference never registers an mpdp embedding — its `MPDPEnv` is dead
+    code, SURVEY.md §2.6b; layout follows `mpdp/env.py:133-229`.)"""
+
+    embed_dim: int
+    num_agents: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, instance) -> jax.Array:
+        a = self.num_agents
+        depot = instance["depot"][:, None, :]                    # [B, 1, 2]
+        locs = instance["locs"]
+        half = locs.shape[-2] // 2
+        depot_emb = nn.Dense(
+            self.embed_dim, use_bias=self.use_bias, name="init_embed_depot"
+        )(depot)                                                 # [B, 1, D]
+        copy_offset = self.param(
+            "depot_copy_offset",
+            nn.initializers.normal(0.02),
+            (a + 1, self.embed_dim),
+        )
+        depot_emb = depot_emb + copy_offset[None, :, :].astype(depot_emb.dtype)
+        pick_feats = jnp.concatenate([locs[:, :half], locs[:, half:]], axis=-1)
+        pick_emb = nn.Dense(
+            self.embed_dim, use_bias=self.use_bias, name="init_embed_pick"
+        )(pick_feats)
+        delivery_emb = nn.Dense(
+            self.embed_dim, use_bias=self.use_bias, name="init_embed_delivery"
+        )(locs[:, half:])
+        return jnp.concatenate([depot_emb, pick_emb, delivery_emb], axis=-2)
+
+
 class MDCPDPInitEmbedding(nn.Module):
     """Depots; pickups (with paired delivery coords); deliveries
     (reference `init.py:404-430`)."""
@@ -333,6 +369,7 @@ INIT_EMBEDDING_REGISTRY: dict[str, type] = {
     "cvrptw": VRPTWInitEmbedding,
     "pdp": PDPInitEmbedding,
     "mdcpdp": MDCPDPInitEmbedding,
+    "mpdp": MPDPInitEmbedding,
     "cvrp": VRPInitEmbedding,
     "cvrpmvc": VRPInitEmbedding,
     "sdvrp": VRPInitEmbedding,

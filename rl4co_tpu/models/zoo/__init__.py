@@ -5,6 +5,8 @@ create a cycle when `rl4co_tpu.rl` is imported first."""
 import importlib
 
 _EXPORTS = {
+    "AttentionModel": "am",
+    "AMPPO": "am",
     "AttentionModelPolicy": "am",
     "POMO": "pomo",
     "make_pomo_policy": "pomo",

@@ -130,3 +130,37 @@ class AttentionModelPolicy(ConstructivePolicy):
         mask_g = mask.reshape(g, b, n).transpose(1, 0, 2)        # [B, g, N]
         logits = self.pointer(query_g, gk, gv, lk, mask_g)       # [B, g, N]
         return logits.transpose(1, 0, 2).reshape(g * b, n)
+
+
+def AttentionModel(
+    env,
+    policy: AttentionModelPolicy | None = None,
+    baseline="rollout",
+    policy_kwargs: dict | None = None,
+    **kwargs,
+):
+    """The Attention Model (Kool et al. 2019): AM policy + REINFORCE with a
+    greedy rollout baseline (reference `zoo/am/model.py:8-32`). Convenience
+    constructor mirroring the reference class; returns a `REINFORCE` algo.
+    """
+    from rl4co_tpu.rl.reinforce import REINFORCE
+
+    if policy is None:
+        policy = AttentionModelPolicy(env_name=env.name, **(policy_kwargs or {}))
+    return REINFORCE(env=env, policy=policy, baseline=baseline, **kwargs)
+
+
+def AMPPO(
+    env,
+    policy: AttentionModelPolicy | None = None,
+    policy_kwargs: dict | None = None,
+    **kwargs,
+):
+    """AM policy trained with PPO + shared critic (reference
+    `zoo/amppo/model.py:14-60`). Returns a `PPO` algo with an auto-created
+    critic."""
+    from rl4co_tpu.rl.ppo import PPO
+
+    if policy is None:
+        policy = AttentionModelPolicy(env_name=env.name, **(policy_kwargs or {}))
+    return PPO(env=env, policy=policy, **kwargs)

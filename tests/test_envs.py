@@ -26,7 +26,7 @@ def make_env(env_name, num_loc=10):
     return get_env(env_name, **ENV_KWARGS.get(env_name, {"num_loc": num_loc}))
 
 
-@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp", "atsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw", "flp", "mcp", "smtwtp", "mtvrp", "svrp", "cvrpmvc", "mdcpdp"])
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "spctsp", "atsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw", "flp", "mcp", "smtwtp", "mtvrp", "svrp", "cvrpmvc", "mdcpdp", "mpdp"])
 def test_random_rollout(env_name):
     env = make_env(env_name, 10)
     key = jax.random.PRNGKey(0)

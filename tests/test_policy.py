@@ -34,7 +34,7 @@ def make_policy(env_name):
     return env, policy, params
 
 
-@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw", "flp", "mcp", "smtwtp", "mtvrp", "svrp", "mdcpdp"])
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp", "sdvrp", "mtsp", "shpp", "pdp", "cvrptw", "flp", "mcp", "smtwtp", "mtvrp", "svrp", "mdcpdp", "mpdp"])
 @pytest.mark.parametrize("kind", ["greedy", "sampling"])
 def test_rollout_shapes_and_validity(env_name, kind):
     env, policy, params = make_policy(env_name)

@@ -8,6 +8,17 @@ _EXPORTS = {
     "AttentionModel": "am",
     "AMPPO": "am",
     "AttentionModelPolicy": "am",
+    "DACT": "dact",
+    "N2S": "n2s",
+    "NeuOpt": "neuopt",
+    "MatNet": "matnet",
+    "HeterogeneousAttentionModel": "ham",
+    "HeterogeneousAttentionModelPolicy": "ham",
+    "MVMoE_AM": "mvmoe",
+    "MVMoE_POMO": "mvmoe",
+    "NARGNNPolicy": "nargnn",
+    "EAS": "eas",
+    "PointerNetworkPolicy": "ptrnet",
     "POMO": "pomo",
     "make_pomo_policy": "pomo",
     "SymNCO": "symnco",

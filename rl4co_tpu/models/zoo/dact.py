@@ -217,3 +217,17 @@ class ImprovementCritic(nn.Module):
         fusion = node + graph[:, None, :]
         v = MLP(1, (self.embed_dim, self.embed_dim // 2), name="mlp")(fusion.mean(axis=-2))
         return v[..., 0]
+
+
+def DACT(env=None, policy: DACTPolicy | None = None, policy_kwargs: dict | None = None, **kwargs):
+    """DACT model (reference `zoo/dact/model.py:13-60`): dual-aspect
+    collaborative transformer policy + n-step PPO with CL curriculum on the
+    2-opt improvement env. Returns an `NStepPPO` algo."""
+    from rl4co_tpu.envs.routing.tsp_kopt import TSPkopt
+    from rl4co_tpu.rl.n_step_ppo import NStepPPO
+
+    if env is None:
+        env = TSPkopt(k_max=2)
+    if policy is None:
+        policy = DACTPolicy(**(policy_kwargs or {}))
+    return NStepPPO(env=env, policy=policy, act_fn=dact_act, action_dim=2, **kwargs)

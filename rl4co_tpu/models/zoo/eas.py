@@ -246,3 +246,9 @@ class EASEmb:
             "best_reward": best,
             "best_actions": best_actions,
         }
+
+
+# Reference exports `EAS` as the base transductive search with embedding
+# fine-tuning enabled by default (`zoo/eas/search.py:19-60`,
+# `models/__init__.py:28`); EASEmb is that default configuration.
+EAS = EASEmb

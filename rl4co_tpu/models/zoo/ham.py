@@ -157,3 +157,18 @@ class HAMPolicy(AttentionModelPolicy):
         for layer in self.ham_layers:
             h = layer(h)
         return h
+
+
+def HeterogeneousAttentionModel(
+    env, policy: "HAMPolicy | None" = None, policy_kwargs: dict | None = None, **kwargs
+):
+    """HAM model (reference `zoo/ham/model.py:10-45`): heterogeneous-attention
+    encoder policy + REINFORCE with rollout baseline on PDP."""
+    from rl4co_tpu.rl.reinforce import REINFORCE
+
+    if policy is None:
+        policy = HAMPolicy(env_name=env.name, **(policy_kwargs or {}))
+    return REINFORCE(env=env, policy=policy, **kwargs)
+
+
+HeterogeneousAttentionModelPolicy = HAMPolicy

@@ -170,3 +170,14 @@ class MatNetPolicy(AttentionModelPolicy):
             glimpse_val=gv,
             logit_key=lk,
         )
+
+
+def MatNet(env, policy: MatNetPolicy | None = None, policy_kwargs: dict | None = None, **kwargs):
+    """MatNet model (reference `zoo/matnet/model.py`): mixed-score dual
+    attention policy + POMO-style multistart REINFORCE with shared baseline.
+    Returns a `POMO` algo."""
+    from rl4co_tpu.models.zoo.pomo import POMO
+
+    if policy is None:
+        policy = MatNetPolicy(env_name=env.name, **(policy_kwargs or {}))
+    return POMO(env=env, policy=policy, num_augment=1, **kwargs)

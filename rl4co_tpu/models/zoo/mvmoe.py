@@ -109,3 +109,26 @@ class MVMoEPolicy(AttentionModelPolicy):
         for layer in self.moe_layers:
             h = layer(h)
         return h
+
+
+def MVMoE_AM(env, policy: "MVMoEPolicy | None" = None, policy_kwargs: dict | None = None, **kwargs):
+    """MVMoE with AM-style training (reference `zoo/mvmoe/model.py:14-70`):
+    MoE policy + REINFORCE rollout baseline."""
+    from rl4co_tpu.rl.reinforce import REINFORCE
+
+    if policy is None:
+        policy = MVMoEPolicy(env_name=env.name, **(policy_kwargs or {}))
+    return REINFORCE(env=env, policy=policy, **kwargs)
+
+
+def MVMoE_POMO(env, policy: "MVMoEPolicy | None" = None, policy_kwargs: dict | None = None, **kwargs):
+    """MVMoE with POMO-style training (reference `zoo/mvmoe/model.py:74-120`):
+    MoE policy + multistart shared-baseline REINFORCE."""
+    from rl4co_tpu.models.zoo.pomo import POMO
+
+    if policy is None:
+        pk = dict(num_encoder_layers=6, normalization="instance",
+                  use_graph_context=False)
+        pk.update(policy_kwargs or {})
+        policy = MVMoEPolicy(env_name=env.name, **pk)
+    return POMO(env=env, policy=policy, **kwargs)

@@ -193,3 +193,19 @@ def n2s_act(
     a_flat, logp2 = decode_action(k2, lp2, flat_mask, spec, flat_replay)
     action = jnp.stack([a_removal, a_flat // gs, a_flat % gs], axis=-1)
     return action, logp1 + logp2, h
+
+
+def N2S(env=None, policy: N2SPolicy | None = None, policy_kwargs: dict | None = None, **kwargs):
+    """N2S model (reference `zoo/n2s/model.py:14-60`): synth-attention
+    ruin-repair policy + n-step PPO on the PDP ruin-repair env. Returns an
+    `NStepPPO` algo."""
+    from rl4co_tpu.envs.routing.pdp_ruin_repair import PDPRuinRepair
+    from rl4co_tpu.models.zoo.dact import ImprovementCritic
+    from rl4co_tpu.rl.n_step_ppo import NStepPPO
+
+    if env is None:
+        env = PDPRuinRepair()
+    if policy is None:
+        policy = N2SPolicy(**(policy_kwargs or {}))
+    kwargs.setdefault("critic", ImprovementCritic(embed_dim=policy.embed_dim))
+    return NStepPPO(env=env, policy=policy, act_fn=n2s_act, action_dim=3, **kwargs)

@@ -111,3 +111,12 @@ class NonAutoregressivePolicy:
     ):
         heat = self.heatmap(params, instances)
         return nar_rollout(env, instances, heat, key, spec, first_actions)
+
+
+def NARGNNPolicy(env_name: str = "tsp", encoder=None, **encoder_kwargs):
+    """Reference `zoo/nargnn/policy.py`: NAR policy = GNN encoder producing an
+    edge heatmap, decoded by the shared NAR rollout. Returns a
+    `NonAutoregressivePolicy` wrapper."""
+    if encoder is None:
+        encoder = NARGNNEncoder(env_name=env_name, **encoder_kwargs)
+    return NonAutoregressivePolicy(encoder=encoder, env_name=env_name)

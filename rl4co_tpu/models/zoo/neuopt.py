@@ -82,10 +82,12 @@ class NeuOptPolicy(nn.Module):
         return init_q, init_hidden
 
     def __call__(self, state):
+        # init path; second element is the embeds tensor (NStepPPO contract,
+        # same shape convention as DACTPolicy.pair_logits)
         h = self.encode(state)
         init_q, init_hidden = self.init_queries(h)
         logits, q1, q2 = self.decode(h, init_hidden, init_hidden, init_q, init_q)
-        return logits
+        return logits, h
 
 
 def neuopt_act(
@@ -183,3 +185,25 @@ def neuopt_act(
     )
     action_all = jnp.concatenate([action_index, k_left[:, :k_max], k_right], axis=-1)
     return action_all, ll, h
+
+
+def NeuOpt(env=None, policy: NeuOptPolicy | None = None, policy_kwargs: dict | None = None, **kwargs):
+    """NeuOpt model (reference `zoo/neuopt/model.py:14-60`): RDS-decoder
+    k-opt policy + n-step PPO with CL curriculum on `TSPkopt(k_max>2)`.
+    Returns an `NStepPPO` algo."""
+    import functools
+
+    from rl4co_tpu.envs.routing.tsp_kopt import TSPkopt
+    from rl4co_tpu.rl.n_step_ppo import NStepPPO
+
+    if env is None:
+        env = TSPkopt(k_max=4)
+    if policy is None:
+        policy = NeuOptPolicy(**(policy_kwargs or {}))
+    k_max = getattr(env, "k_max", 4)
+    act = functools.partial(neuopt_act, k_max=k_max)
+    if "critic" not in kwargs:
+        from rl4co_tpu.models.zoo.dact import ImprovementCritic
+
+        kwargs["critic"] = ImprovementCritic(embed_dim=policy.embed_dim)
+    return NStepPPO(env=env, policy=policy, act_fn=act, action_dim=3 * k_max, **kwargs)

@@ -200,3 +200,7 @@ class PointerNetworkModel:
             )
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# Reference exports the policy under this name (`models/__init__.py:41`).
+PointerNetworkPolicy = PointerNetwork

@@ -331,3 +331,39 @@ def test_matnet_ffsp_policy():
     ts = algo.make_train_step(batch_size=2)
     state, m = ts(state, jax.random.PRNGKey(4))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_reference_model_class_exports():
+    """Every model class the reference exports from `rl4co.models`
+    (`models/__init__.py:23-42`) resolves here and constructs."""
+    from rl4co_tpu import models as M
+
+    names = [
+        "AttentionModel", "AMPPO", "AttentionModelPolicy", "POMO", "SymNCO",
+        "SymNCOPolicy", "PolyNet", "PolyNetPolicy", "MDAM", "MDAMPolicy",
+        "MatNet", "MatNetPolicy", "HeterogeneousAttentionModel",
+        "HeterogeneousAttentionModelPolicy", "MVMoE_AM", "MVMoE_POMO",
+        "DACT", "DACTPolicy", "N2S", "N2SPolicy", "NeuOpt", "NeuOptPolicy",
+        "DeepACO", "GFACS", "GLOP", "NARGNNPolicy", "ActiveSearch", "EAS",
+        "EASEmb", "EASLay", "PointerNetwork", "PointerNetworkPolicy",
+        "L2DModel", "L2DPolicy",
+    ]
+    for n in names:
+        assert getattr(M, n) is not None, n
+
+    # thin constructors actually build an algo object
+    env = get_env("tsp", num_loc=6)
+    small = dict(embed_dim=16, num_encoder_layers=1,
+                 feedforward_hidden=32, num_heads=2)
+    algo = M.AttentionModel(env, policy_kwargs=small, baseline="mean")
+    assert algo.env is env
+    from rl4co_tpu.envs.routing.tsp_kopt import TSPkopt
+    d = M.DACT(env=TSPkopt(num_loc=8, k_max=2),
+               policy_kwargs=dict(embed_dim=16, num_heads=2,
+                                  num_encoder_layers=1, feedforward_hidden=16))
+    assert d.action_dim == 2
+    nopt = M.NeuOpt(env=TSPkopt(num_loc=8, k_max=4),
+                    policy_kwargs=dict(embed_dim=16, num_heads=2,
+                                       num_encoder_layers=1,
+                                       feedforward_hidden=16))
+    assert nopt.action_dim == 12

@@ -47,6 +47,35 @@ def synthetic_pdn(size: int, num_freq: int, seed: int = 0):
     return jnp.asarray(pdn), jnp.asarray(freqs)
 
 
+@functools.lru_cache(maxsize=2)
+def load_pdn_data(
+    data_dir: str,
+    chip_file: str = "10x10_pkg_chip.npy",
+    decap_file: str = "01nF_decap.npy",
+    freq_file: str = "freq_201.npy",
+):
+    """Load the reference's measured PDN data files if present
+    (`dpp/generator.py:125-137`; the reference downloads them — this build is
+    zero-egress, so the user supplies ``data_dir``). Returns
+    (raw_pdn [F, n, n], freqs [F], decap [F, 1, 1]) as jnp complex64/float32.
+    """
+    import os
+
+    def _load(fname):
+        path = os.path.join(data_dir, fname)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"DPP data file {path!r} not found; download the reference "
+                "dataset or use the synthetic PDN (data_dir=None)."
+            )
+        return np.load(path)
+
+    raw_pdn = jnp.asarray(_load(chip_file)).astype(jnp.complex64)
+    decap = jnp.asarray(_load(decap_file)).astype(jnp.complex64)
+    freqs = jnp.asarray(_load(freq_file)).astype(jnp.float32)
+    return raw_pdn, freqs, decap
+
+
 @struct.dataclass
 class DPPState:
     locs: jax.Array      # [N, 2] grid coords normalized
@@ -70,10 +99,24 @@ class DPP(Env):
     num_keepout_max: int = 50
     num_freq: int = 50
     pdn_seed: int = 0
+    # Path to the reference's measured PDN data (10x10_pkg_chip.npy etc.,
+    # `dpp/generator.py:48-51`). None -> synthetic PDN.
+    data_dir: str | None = None
 
     @property
     def n(self) -> int:
         return self.size * self.size
+
+    def _pdn(self):
+        """(pdn [F, n, n], freqs [F], decap [F, 1, 1] or None)."""
+        if self.data_dir is not None:
+            pdn, freqs, decap = load_pdn_data(self.data_dir)
+            assert pdn.shape[-1] == self.n, (
+                f"PDN data is {pdn.shape[-1]} nodes; env size²={self.n}"
+            )
+            return pdn, freqs, decap
+        pdn, freqs = synthetic_pdn(self.size, self.num_freq, self.pdn_seed)
+        return pdn, freqs, None
 
     def _grid_locs(self) -> jax.Array:
         m = self.size
@@ -124,7 +167,7 @@ class DPP(Env):
     def _decap_impedance(self, placed_idx: jax.Array, probe: jax.Array) -> jax.Array:
         """|Z_final(f)| at the probe after placing decaps (Schur complement;
         reference `dpp/env.py:160-196`)."""
-        pdn, freqs = synthetic_pdn(self.size, self.num_freq, self.pdn_seed)
+        pdn, freqs, decap = self._pdn()
         k = placed_idx.shape[0]
         # order nodes: non-placed first (stable by index)
         placed_mask = jnp.zeros((self.n,), bool).at[placed_idx].set(True)
@@ -134,17 +177,22 @@ class DPP(Env):
         z1ap = pdn[:, a_idx[:, None], placed_idx[None, :]]
         z1pa = pdn[:, placed_idx[:, None], a_idx[None, :]]
         z1pp = pdn[:, placed_idx[:, None], placed_idx[None, :]]
-        # decap impedance ~ 1/(2π f C), C = 1nF
-        zc = 1.0 / (2 * jnp.pi * freqs * 1e-9)
-        z2 = jnp.eye(k)[None] * zc[:, None, None] / 50.0
-        zout = z1aa - z1ap @ jnp.linalg.inv(z1pp + z2) @ z1pa
+        if decap is not None:
+            # measured decap impedance (`dpp/env.py:160-178` uses the loaded
+            # 01nF decap model directly)
+            z2 = jnp.eye(k, dtype=decap.dtype)[None] * decap
+        else:
+            # synthetic: decap impedance ~ 1/(2π f C), C = 1nF
+            zc = 1.0 / (2 * jnp.pi * freqs * 1e-9)
+            z2 = jnp.eye(k)[None] * zc[:, None, None] / 50.0
+        zout = z1aa - z1ap @ jnp.linalg.inv(z1pp + z2.astype(z1pp.dtype)) @ z1pa
         # probe position within the reduced index set
         probe_pos = (a_idx == probe).argmax()
         return jnp.abs(zout[:, probe_pos, probe_pos])
 
     def reward(self, state: DPPState, actions: jax.Array) -> jax.Array:
         # reference `dpp/env.py:197-228`
-        pdn, freqs = synthetic_pdn(self.size, self.num_freq, self.pdn_seed)
+        pdn, freqs, _ = self._pdn()
         placed = actions[: self.max_decaps].astype(jnp.int32)
         z_init = jnp.abs(pdn[:, state.probe, state.probe])
         z_final = self._decap_impedance(placed, state.probe)
@@ -232,7 +280,7 @@ class MDPP(DPP):
         )
 
     def reward_batch(self, state, actions) -> jax.Array:
-        pdn, freqs = synthetic_pdn(self.size, self.num_freq, self.pdn_seed)
+        pdn, freqs, decap = self._pdn()
 
         def one(probe_mask, acts):
             placed = acts[: self.max_decaps].astype(jnp.int32)
@@ -244,9 +292,12 @@ class MDPP(DPP):
             z1ap = pdn[:, a_idx[:, None], placed[None, :]]
             z1pa = pdn[:, placed[:, None], a_idx[None, :]]
             z1pp = pdn[:, placed[:, None], placed[None, :]]
-            zc = 1.0 / (2 * jnp.pi * freqs * 1e-9)
-            z2 = jnp.eye(k)[None] * zc[:, None, None] / 50.0
-            zout = z1aa - z1ap @ jnp.linalg.inv(z1pp + z2) @ z1pa
+            if decap is not None:
+                z2 = jnp.eye(k, dtype=decap.dtype)[None] * decap
+            else:
+                zc = 1.0 / (2 * jnp.pi * freqs * 1e-9)
+                z2 = jnp.eye(k)[None] * zc[:, None, None] / 50.0
+            zout = z1aa - z1ap @ jnp.linalg.inv(z1pp + z2.astype(z1pp.dtype)) @ z1pa
             z_final_diag = jnp.abs(jnp.diagonal(zout, axis1=1, axis2=2))  # [F, N-K]
             z_init_all = jnp.abs(jnp.diagonal(pdn, axis1=1, axis2=2))     # [F, N]
             # reward per remaining node, scattered back to full index space

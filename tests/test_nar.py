@@ -70,3 +70,31 @@ def test_ant_system_improves_over_iterations():
     # best-so-far trace must be monotone nondecreasing
     tr = np.asarray(trace)
     assert (np.diff(tr) >= -1e-6).all()
+
+
+def test_gcn_and_mpnn_encoders():
+    """Dense TPU-native equivalents of the reference's PyG GCN/MPNN encoders
+    (`graph/gcn.py:28`, `graph/mpnn.py:64`): correct shapes, finite, and the
+    MPNN handles envs without coordinates (zero edge features)."""
+    import numpy as np
+    from rl4co_tpu.envs import get_env
+    from rl4co_tpu.models.nn.graph.gnn import GCNEncoder, MessagePassingEncoder
+
+    env = get_env("tsp", num_loc=8)
+    inst = env.generate_batch(jax.random.PRNGKey(0), 3)
+    for enc in (
+        GCNEncoder(env_name="tsp", embed_dim=16, num_layers=2),
+        MessagePassingEncoder(env_name="tsp", embed_dim=16, num_layers=2,
+                              aggregation="mean"),
+    ):
+        params = enc.init(jax.random.PRNGKey(1), inst)
+        h, h0 = enc.apply(params, inst)
+        assert h.shape == (3, 8, 16) and h0.shape == (3, 8, 16)
+        assert np.isfinite(np.asarray(h)).all()
+
+    env2 = get_env("smtwtp", num_job=6)
+    inst2 = env2.generate_batch(jax.random.PRNGKey(2), 2)
+    enc = MessagePassingEncoder(env_name="smtwtp", embed_dim=16, num_layers=1)
+    params = enc.init(jax.random.PRNGKey(3), inst2)
+    h, _ = enc.apply(params, inst2)
+    assert np.isfinite(np.asarray(h)).all()

@@ -29,6 +29,11 @@ class TrainerConfig:
     val_batch_size: int = 1024
     seed: int = 1234
     log_every: int = 50
+    # jax profiler trace (reference SpeedMonitor analog, SURVEY.md §5): when
+    # set, captures `profile_steps` train steps of epoch 0 into this dir
+    # (view with TensorBoard / xprof).
+    profile_dir: Optional[str] = None
+    profile_steps: int = 5
 
 
 class Trainer:
@@ -76,14 +81,27 @@ class Trainer:
         eval_step = self.algo.make_eval_step()
         steps_per_epoch = max(1, cfg.train_data_size // cfg.batch_size)
 
+        profiling = False
         for epoch in range(cfg.epochs):
             kepoch = jax.random.fold_in(krun, epoch)
             t0 = time.perf_counter()
             for it in range(steps_per_epoch):
+                if cfg.profile_dir and epoch == 0 and it == 1:
+                    # skip step 0 (compile); trace steady-state steps
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
                 state, metrics = train_step(state, kepoch)
+                if profiling and it >= cfg.profile_steps:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
                 if it % cfg.log_every == 0:
                     metrics = jax.device_get(metrics)
                     self.logger({"epoch": epoch, "it": it, **metrics})
+            if profiling:  # short epoch: close the trace before validation
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
             jax.block_until_ready(state.params)
             train_s = time.perf_counter() - t0
 

@@ -54,6 +54,9 @@ _EXPORTS = {
     "L2DModel": "l2d",
     "L2DPolicy": "l2d",
     "l2d_rollout": "l2d",
+    "L2DAttnModel": "l2d",
+    "L2DAttnPolicy": "l2d",
+    "l2d_attn_rollout": "l2d",
 }
 
 __all__ = sorted(_EXPORTS)

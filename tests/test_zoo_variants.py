@@ -295,6 +295,31 @@ def test_l2d_trains_on_fjsp():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_l2d_attn_trains_on_jssp():
+    """Encode-once attention variant with JSSPDynamicEmbedding deltas
+    (reference `l2d/policy.py:95-151`, `dynamic.py:81-117`)."""
+    from rl4co_tpu.decoding import DecodeSpec
+    from rl4co_tpu.envs.scheduling.fjsp import JSSP
+    from rl4co_tpu.models.zoo.l2d import L2DAttnModel, L2DAttnPolicy, l2d_attn_rollout
+
+    env = JSSP(num_jobs=3, num_mas=2)
+    policy = L2DAttnPolicy(embed_dim=16, num_heads=2, num_encoder_layers=1)
+    model = L2DAttnModel(env=env, policy=policy)
+    state = model.init(jax.random.PRNGKey(0))
+    ts = model.make_train_step(batch_size=3)
+    state, m = ts(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+    # greedy rollout produces feasible schedules
+    instances = env.generate_batch(jax.random.PRNGKey(2), 4)
+    out = l2d_attn_rollout(policy, state.params, env, instances,
+                           jax.random.PRNGKey(3), DecodeSpec(kind="greedy"))
+    assert out.reward.shape == (4,)
+    assert np.isfinite(np.asarray(out.reward)).all()
+    # reward = -makespan must be strictly negative
+    assert (np.asarray(out.reward) < 0).all()
+
+
 def test_ham_policy_on_pdp():
     from rl4co_tpu.models.zoo.ham import HAMPolicy
 

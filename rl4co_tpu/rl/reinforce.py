@@ -51,6 +51,8 @@ class REINFORCE:
     val_spec: DecodeSpec = DecodeSpec(kind="greedy")
     lr: float = 1e-4
     grad_clip: float = 1.0
+    optimizer: str = "adam"  # by-name (reference `optim_helpers.py:34-40`)
+    lr_schedule: object = None  # optax.Schedule overriding constant lr
 
     def __post_init__(self):
         if isinstance(self.baseline, str):
@@ -59,10 +61,13 @@ class REINFORCE:
     # ---- components ----
 
     def make_optimizer(self) -> optax.GradientTransformation:
-        tx = optax.adam(self.lr)
-        if self.grad_clip and self.grad_clip > 0:
-            tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
-        return tx
+        from rl4co_tpu.utils.optim import get_optimizer
+
+        return get_optimizer(
+            self.optimizer,
+            self.lr_schedule if self.lr_schedule is not None else self.lr,
+            grad_clip=self.grad_clip,
+        )
 
     def greedy_reward_fn(self):
         """(params, instances) -> greedy rewards; used by the rollout baseline

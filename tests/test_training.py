@@ -61,3 +61,36 @@ def test_rollout_baseline_ttest_updates():
     ) - 100.0  # incumbent is terrible -> challenge must succeed
     state2, host2 = algo.epoch_end(state, host)
     assert (np.asarray(host2["eval_rewards"]) > -50).all()  # updated rewards
+
+
+def test_optim_factories_and_schedules():
+    """By-name optimizer/schedule factories (reference `optim_helpers.py:25-49`,
+    POMO MultiStepLR config)."""
+    import optax
+
+    from rl4co_tpu.utils.optim import get_lr_schedule, get_optimizer
+
+    sched = get_lr_schedule("multistep", 1e-3, milestones=(2, 4), gamma=0.1,
+                            steps_per_epoch=10)
+    assert np.isclose(sched(0), 1e-3)
+    assert np.isclose(sched(25), 1e-4)
+    assert np.isclose(sched(45), 1e-5)
+
+    cos = get_lr_schedule("cosine", 1e-3, total_steps=100, warmup_steps=10)
+    assert np.isclose(cos(0), 0.0)
+    assert np.isclose(cos(10), 1e-3)
+    assert cos(109) < 1e-4
+
+    tx = get_optimizer("adamw", sched, grad_clip=1.0, weight_decay=0.01)
+    assert isinstance(tx, optax.GradientTransformation)
+    with pytest.raises(ValueError):
+        get_optimizer("nope")
+
+    # end-to-end: REINFORCE with a scheduled SGD optimizer still trains
+    algo, cfg = tiny_setup(baseline="mean")
+    algo = REINFORCE(env=algo.env, policy=algo.policy, baseline="mean",
+                     optimizer="sgd", lr_schedule=sched,
+                     train_spec=algo.train_spec)
+    trainer = Trainer(algo, cfg, logger=lambda m: None)
+    state = trainer.fit()
+    assert np.isfinite(trainer.history[-1]["val/reward"])

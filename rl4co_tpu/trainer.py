@@ -121,6 +121,31 @@ class Trainer:
 
         return state
 
+    def test(self, state, datasets: Optional[dict] = None, key=None) -> dict:
+        """Test phase (reference `tasks/train.py:79-86` trainer.test after fit;
+        multiple *named* test datasets per `rl/common/base.py:281-316`).
+
+        ``datasets``: ``{name: instances}`` pytrees (e.g. loaded with
+        `rl4co_tpu.data.io.load_npz`); defaults to one freshly generated set
+        named ``"test"`` (reference convention: test seed 1234, 10k).
+        Returns ``{f"test/{name}/reward": float}`` and logs it.
+        """
+        cfg = self.config
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        if datasets is None:
+            datasets = {
+                "test": self.algo.env.generate_batch(key, cfg.val_data_size)
+            }
+        eval_step = self.algo.make_eval_step()
+        record = {}
+        for name, instances in datasets.items():
+            m = self._validate(eval_step, state.params, instances, key)
+            for k, v in m.items():
+                record[f"test/{name}/{k}"] = v
+        self.history.append(record)
+        self.logger(record)
+        return record
+
     def _validate(self, eval_step, params, val_instances, key) -> dict:
         cfg = self.config
         n = jax.tree_util.tree_leaves(val_instances)[0].shape[0]

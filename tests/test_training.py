@@ -94,3 +94,22 @@ def test_optim_factories_and_schedules():
     trainer = Trainer(algo, cfg, logger=lambda m: None)
     state = trainer.fit()
     assert np.isfinite(trainer.history[-1]["val/reward"])
+
+
+def test_trainer_test_phase_named_datasets():
+    """fit -> test with multiple named datasets (reference
+    `tasks/train.py:79-86`, `rl/common/base.py:281-316`)."""
+    algo, cfg = tiny_setup(baseline="mean")
+    trainer = Trainer(algo, cfg, logger=lambda m: None)
+    state = trainer.fit()
+    env = algo.env
+    datasets = {
+        "uniform": env.generate_batch(jax.random.PRNGKey(7), 8),
+        "uniform2": env.generate_batch(jax.random.PRNGKey(8), 8),
+    }
+    record = trainer.test(state, datasets)
+    assert set(record) == {"test/uniform/reward", "test/uniform2/reward"}
+    assert all(np.isfinite(v) for v in record.values())
+    # default: generated test set
+    record2 = trainer.test(state)
+    assert np.isfinite(record2["test/test/reward"])

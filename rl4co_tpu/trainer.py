@@ -62,6 +62,14 @@ class Trainer:
         state = self.algo.init(kinit)
         host: dict = {}
 
+        # param-count logging (reference `utils/utils.py:131-173`
+        # log_hyperparameters: model/params/total etc.)
+        n_params = sum(
+            x.size for x in jax.tree_util.tree_leaves(state.params)
+        )
+        self.logger({"model/params_total": n_params, "seed": cfg.seed,
+                     "batch_size": cfg.batch_size, "epochs": cfg.epochs})
+
         # Rollout-baseline setup: held-out eval set + incumbent rewards
         # (reference `baselines.py:171-187` post_setup_hook).
         bl = getattr(self.algo, "baseline", None)

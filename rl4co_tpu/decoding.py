@@ -42,9 +42,15 @@ class DecodeSpec:
     num_starts: int = 0
     num_samples: int = 0
     select_best: bool = False
+    # beam search (reference `decoding.py:464-600`): 0 = env.get_num_starts
+    beam_width: int = 0
+    # mixed precision: "bfloat16" casts params to bf16 for the forward pass
+    # (f32 master params; TPU analog of reference `precision="16-mixed"`,
+    # `rl4co/utils/trainer.py:57`). None = compute in the params' own dtype.
+    compute_dtype: Optional[str] = None
 
     def __post_init__(self):
-        assert self.kind in ("greedy", "sampling", "evaluate"), self.kind
+        assert self.kind in ("greedy", "sampling", "evaluate", "beam_search"), self.kind
         assert not (self.multistart and self.num_samples > 1)
 
 
@@ -56,6 +62,7 @@ def get_decoding_strategy(name: str, **kwargs) -> DecodeSpec:
         "multistart_greedy": dict(kind="greedy", multistart=True),
         "multistart_sampling": dict(kind="sampling", multistart=True),
         "evaluate": dict(kind="evaluate"),
+        "beam_search": dict(kind="beam_search", select_best=True),
     }
     if name not in table:
         raise ValueError(f"Unknown decode type {name}. Available: {sorted(table)}")

@@ -101,6 +101,18 @@ def rollout(
             (``unbatchify(x, num_starts) -> [B, num_starts]``).
         replay_actions: ``[B', T]`` actions for ``kind='evaluate'``.
     """
+    if spec.compute_dtype is not None:
+        from rl4co_tpu.utils.dtype import cast_floating
+
+        params = cast_floating(params, jnp.dtype(spec.compute_dtype))
+    if spec.kind == "beam_search":
+        from rl4co_tpu.models.policies.beam_search import beam_search_rollout
+
+        width = spec.beam_width or env.get_num_starts()
+        return beam_search_rollout(
+            policy, params, env, instances, key, width, spec,
+            select_best=spec.select_best,
+        )
     embeddings = policy.apply(params, instances, method="encode")
     cache = policy.apply(params, embeddings, method="precompute")
     return rollout_from_cache(

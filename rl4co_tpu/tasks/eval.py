@@ -28,7 +28,7 @@ from rl4co_tpu.utils.ops import unbatchify
 
 @dataclasses.dataclass(frozen=True)
 class EvalMethod:
-    decode: str = "greedy"          # greedy | sampling
+    decode: str = "greedy"          # greedy | sampling | beam_search
     num_samples: int = 1
     multistart: bool = False
     num_augment: int = 1
@@ -50,6 +50,10 @@ EVAL_METHODS = {
     "multistart_greedy_augment": EvalMethod(
         multistart=True, num_augment=8, augment_fn="symmetric"
     ),
+    # reference registers beam search as a first-class decoding strategy
+    # (`utils/decoding.py:17-35`, impl :464-600); beam width defaults to
+    # env.get_num_starts() like multistart.
+    "beam_search": EvalMethod(decode="beam_search"),
 }
 
 
@@ -77,7 +81,12 @@ def evaluate_policy(
         raise ValueError(f"Unknown eval method {method}. Available: {sorted(EVAL_METHODS)}")
     m = dataclasses.replace(m, **method_overrides)
 
-    s = (num_starts or env.get_num_starts()) if m.multistart else max(m.num_samples, 1)
+    beam = m.decode == "beam_search"
+    s = (
+        (num_starts or env.get_num_starts())
+        if (m.multistart or beam)
+        else max(m.num_samples, 1)
+    )
     a = max(m.num_augment, 1)
     if batch_size is None:
         batch_size = max(1, 8192 // max(1, s * a))
@@ -91,8 +100,10 @@ def evaluate_policy(
         top_p=m.top_p,
         top_k=m.top_k,
         tanh_clipping=tanh_clipping,
+        beam_width=s if beam else 0,
+        select_best=beam,  # beam search reduces the beam axis internally
     )
-    repeats = s if (m.multistart or m.num_samples > 1) else 1
+    repeats = s if (m.multistart or m.num_samples > 1) and not beam else 1
 
     @jax.jit
     def run_batch(params, batch, k):

@@ -24,7 +24,8 @@ def setup():
 
 @pytest.mark.parametrize(
     "method", ["greedy", "sampling", "multistart_greedy",
-               "augment_dihedral_8", "multistart_greedy_augment_dihedral_8"]
+               "augment_dihedral_8", "multistart_greedy_augment_dihedral_8",
+               "beam_search"]
 )
 def test_evaluate_policy_methods(method):
     env, policy, params = setup()
@@ -47,6 +48,39 @@ def test_stronger_methods_dominate_greedy():
     # aggregate dominance rather than per-instance exactness
     assert ms["mean_reward"] >= greedy["mean_reward"] - 0.02
     assert aug["mean_reward"] >= greedy["mean_reward"] - 0.02
+
+
+def test_beam_search_dominates_greedy():
+    env, policy, params = setup()
+    instances = env.generate_batch(jax.random.PRNGKey(1), 8)
+    greedy = evaluate_policy(env, policy, params, instances, "greedy", batch_size=8)
+    beam = evaluate_policy(env, policy, params, instances, "beam_search", batch_size=8)
+    # beam 0 reproduces the greedy trajectory, so the beam max can't be worse
+    assert beam["mean_reward"] >= greedy["mean_reward"] - 1e-4
+
+
+def test_decode_spec_compute_dtype_bf16():
+    """compute_dtype='bfloat16' casts params for the forward pass (TPU analog
+    of the reference's 16-mixed precision, `rl4co/utils/trainer.py:57`)."""
+    import jax.numpy as jnp
+
+    from rl4co_tpu.decoding import DecodeSpec
+    from rl4co_tpu.models.policies.constructive import rollout
+
+    env, policy, params = setup()
+    instances = env.generate_batch(jax.random.PRNGKey(1), 6)
+    spec = DecodeSpec(kind="greedy", compute_dtype="bfloat16")
+    out = rollout(policy, params, env, instances, jax.random.PRNGKey(0), spec)
+    f32 = rollout(policy, params, env, instances, jax.random.PRNGKey(0),
+                  DecodeSpec(kind="greedy"))
+    assert out.reward.shape == (6,)
+    assert np.isfinite(np.asarray(out.reward)).all()
+    # bf16 forward should stay close to the f32 tour quality on tiny instances
+    assert abs(float(out.reward.mean()) - float(f32.reward.mean())) < 0.5
+    # params themselves must remain untouched (f32 master copy)
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(params)
+               if jnp.issubdtype(x.dtype, jnp.floating))
 
 
 def test_npz_roundtrip(tmp_path):

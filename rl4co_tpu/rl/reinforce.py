@@ -72,7 +72,11 @@ class REINFORCE:
     def greedy_reward_fn(self):
         """(params, instances) -> greedy rewards; used by the rollout baseline
         (reference `baselines.py:189-198`)."""
-        spec = DecodeSpec(kind="greedy", tanh_clipping=self.train_spec.tanh_clipping)
+        spec = DecodeSpec(
+            kind="greedy",
+            tanh_clipping=self.train_spec.tanh_clipping,
+            compute_dtype=self.train_spec.compute_dtype,
+        )
         fixed_key = jax.random.PRNGKey(0)  # greedy decode consumes no randomness
 
         def fn(params, instances):

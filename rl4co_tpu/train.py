@@ -40,6 +40,10 @@ class WorkloadSpec:
     val_data_size: int = 10_000
     seed: int = 1234
     tanh_clipping: float = 10.0
+    # TPU analog of the reference default precision="16-mixed"
+    # (`rl4co/utils/trainer.py:57`): bf16 forward compute, f32 master params.
+    precision: str = "bf16-mixed"     # bf16-mixed | f32
+    ckpt_dir: Optional[str] = None
 
     def env(self):
         return get_env(self.env_name, **dict(self.env_kwargs))
@@ -49,7 +53,12 @@ def build(spec: WorkloadSpec, mesh=None, logger=None):
     """Build (algorithm, trainer) from a workload spec."""
     env = spec.env()
     pkw = dict(spec.policy_kwargs)
-    train_spec = DecodeSpec(kind="sampling", tanh_clipping=spec.tanh_clipping)
+    compute_dtype = "bfloat16" if spec.precision == "bf16-mixed" else None
+    train_spec = DecodeSpec(
+        kind="sampling",
+        tanh_clipping=spec.tanh_clipping,
+        compute_dtype=compute_dtype,
+    )
 
     if spec.model in ("am", "am-xl"):
         from rl4co_tpu.models import AttentionModelPolicy
@@ -106,6 +115,7 @@ def build(spec: WorkloadSpec, mesh=None, logger=None):
         train_data_size=spec.train_data_size,
         val_data_size=spec.val_data_size,
         seed=spec.seed,
+        ckpt_dir=spec.ckpt_dir,
     )
     trainer = Trainer(algo, cfg, mesh=mesh, logger=logger)
     return algo, trainer
@@ -124,8 +134,24 @@ def main(argv: Optional[list] = None):
     p.add_argument("--baseline", default="rollout")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--log-file", default=None, help="JSONL metrics file")
-    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="save best (val/reward max) + last checkpoints here")
+    p.add_argument("--resume-from", default=None,
+                   help="checkpoint dir written by a previous run (…/last or …/best)")
+    p.add_argument("--precision", default="bf16-mixed",
+                   choices=["bf16-mixed", "f32"])
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = all local devices when >1)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() first "
+                        "(reads JAX coordinator env vars / TPU metadata)")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        # Multi-host entry (reference: Lightning spawns DDP ranks,
+        # `utils/trainer.py:73-86`): each host runs this same script; JAX
+        # discovers coordinator/world from env or TPU metadata.
+        jax.distributed.initialize()
 
     spec = WorkloadSpec(
         env_name=args.env,
@@ -138,7 +164,16 @@ def main(argv: Optional[list] = None):
         train_data_size=args.train_size,
         val_data_size=args.val_size,
         seed=args.seed,
+        precision=args.precision,
+        ckpt_dir=args.ckpt_dir,
     )
+    mesh = None
+    n_dev = len(jax.devices())
+    if args.dp > 1 or (args.dp == 0 and n_dev > 1):
+        from rl4co_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp if args.dp > 1 else n_dev)
+        print(f"Data-parallel mesh: dp={mesh.shape['dp']} over {n_dev} devices")
     logger = None
     if args.log_file:
         from rl4co_tpu.loggers import JSONLLogger, MultiLogger
@@ -146,13 +181,8 @@ def main(argv: Optional[list] = None):
         logger = MultiLogger(JSONLLogger(args.log_file),
                              lambda m: print(json.dumps({k: str(v) for k, v in m.items()})))
     print(f"Workload: {spec}")
-    algo, trainer = build(spec, logger=logger)
-    state = trainer.fit()
-    if args.ckpt_dir:
-        from rl4co_tpu.checkpoint import save_checkpoint
-
-        path = save_checkpoint(args.ckpt_dir, state, step=int(state.step))
-        print(f"Saved checkpoint to {path}")
+    algo, trainer = build(spec, mesh=mesh, logger=logger)
+    state = trainer.fit(resume_from=args.resume_from)
     return state
 
 

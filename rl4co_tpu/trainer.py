@@ -6,6 +6,11 @@ is just RNG key folding — every step generates a fresh on-device batch.
 Speed metrics mirror the reference `SpeedMonitor`
 (`utils/callbacks/speed_monitor.py:12-113`), plus the BASELINE.md
 first-class metric env-steps/s.
+
+Checkpointing mirrors the reference `ModelCheckpoint` callback
+(`configs/callbacks/default.yaml:9-17`): monitor ``val/reward`` (max),
+keep top-1 (``best``) + ``last``; resume via ``fit(resume_from=...)``
+(reference `trainer.fit(ckpt_path)`, `rl4co/tasks/train.py:75`).
 """
 
 from __future__ import annotations
@@ -34,6 +39,13 @@ class TrainerConfig:
     # (view with TensorBoard / xprof).
     profile_dir: Optional[str] = None
     profile_steps: int = 5
+    # Checkpointing (reference ModelCheckpoint: monitor val/reward max,
+    # save_top_k=1 + save_last). When ckpt_dir is set, `fit` writes
+    # `<ckpt_dir>/last` every epoch and `<ckpt_dir>/best` whenever the
+    # monitored value improves.
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 1                # save `last` every N epochs
+    monitor: str = "reward"            # metric of the primary val set, maximized
 
 
 class Trainer:
@@ -53,7 +65,26 @@ class Trainer:
         self.logger = logger or (lambda m: print({k: _fmt(v) for k, v in m.items()}))
         self.history: list[dict] = []
 
-    def fit(self) -> Any:
+    def fit(
+        self,
+        resume_from: Optional[str] = None,
+        val_datasets: Optional[dict] = None,
+    ) -> Any:
+        """Run the training loop.
+
+        Args:
+            resume_from: checkpoint directory written by a previous ``fit``
+                (``<ckpt_dir>/last`` or ``/best``). Restores params, optimizer
+                and baseline state, epoch counter, and the rollout baseline's
+                incumbent rewards, then continues — the RNG stream is derived
+                from (seed, epoch, step), so a resumed run replays the exact
+                uninterrupted schedule.
+            val_datasets: ``{name: instances}`` evaluated every epoch
+                (reference multiple named val dataloaders,
+                `rl/common/base.py:281-316`). The first entry is the primary
+                set whose ``val/reward`` is monitored for `best` checkpoints.
+                Defaults to one generated set logged as plain ``val/*``.
+        """
         cfg = self.config
         env = self.algo.env
         key = jax.random.PRNGKey(cfg.seed)
@@ -83,18 +114,34 @@ class Trainer:
                 self.algo.greedy_reward_fn()(state.params, host["eval_instances"])
             )
 
-        val_instances = env.generate_batch(kval, cfg.val_data_size)
+        if val_datasets is None:
+            val_datasets = {"": env.generate_batch(kval, cfg.val_data_size)}
+
+        start_epoch = 0
+        best_monitor = -np.inf
+        if resume_from is not None:
+            from rl4co_tpu.checkpoint import restore_checkpoint
+
+            template = _ckpt_tree(state, 0, best_monitor, host)
+            restored = restore_checkpoint(resume_from, template)
+            state = restored["state"]
+            start_epoch = int(restored["epoch"])
+            best_monitor = float(restored["best_monitor"])
+            if "eval_rewards" in restored:
+                host["eval_rewards"] = np.asarray(restored["eval_rewards"])
+            self.logger({"resumed_from": resume_from, "epoch": start_epoch,
+                         "best_monitor": best_monitor})
 
         train_step = self.algo.make_train_step(cfg.batch_size, mesh=self.mesh)
         eval_step = self.algo.make_eval_step()
         steps_per_epoch = max(1, cfg.train_data_size // cfg.batch_size)
 
         profiling = False
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             kepoch = jax.random.fold_in(krun, epoch)
             t0 = time.perf_counter()
             for it in range(steps_per_epoch):
-                if cfg.profile_dir and epoch == 0 and it == 1:
+                if cfg.profile_dir and epoch == start_epoch and it == 1:
                     # skip step 0 (compile); trace steady-state steps
                     jax.profiler.start_trace(cfg.profile_dir)
                     profiling = True
@@ -113,19 +160,37 @@ class Trainer:
             jax.block_until_ready(state.params)
             train_s = time.perf_counter() - t0
 
-            # validation (greedy; reference logs val/reward per epoch)
-            val_metrics = self._validate(eval_step, state.params, val_instances, kepoch)
-            steps = steps_per_epoch * cfg.batch_size * env.max_steps
+            # validation on every named set (reference logs val/reward per epoch)
             record = {
                 "epoch": epoch,
                 "time/epoch_s": train_s,
-                "env_steps_per_s": steps / train_s,
-                **{f"val/{k}": v for k, v in val_metrics.items()},
+                "env_steps_per_s": steps_per_epoch * cfg.batch_size
+                * env.max_steps / train_s,
             }
+            monitor_val = None
+            for name, instances in val_datasets.items():
+                vm = self._validate(eval_step, state.params, instances, kepoch)
+                prefix = f"val/{name}/" if name else "val/"
+                record.update({f"{prefix}{k}": v for k, v in vm.items()})
+                if monitor_val is None:
+                    monitor_val = vm.get(cfg.monitor)
             self.history.append(jax.device_get(record))
             self.logger(record)
 
             state, host = self.algo.epoch_end(state, host)
+
+            if cfg.ckpt_dir:
+                from rl4co_tpu.checkpoint import save_checkpoint
+
+                tree = _ckpt_tree(state, epoch + 1, max(best_monitor,
+                                  monitor_val if monitor_val is not None else -np.inf),
+                                  host)
+                if (epoch + 1) % cfg.ckpt_every == 0 or epoch + 1 == cfg.epochs:
+                    save_checkpoint(f"{cfg.ckpt_dir}/last", tree)
+                if monitor_val is not None and monitor_val > best_monitor:
+                    best_monitor = monitor_val
+                    save_checkpoint(f"{cfg.ckpt_dir}/best", tree)
+                    self.logger({"epoch": epoch, "ckpt/best_monitor": best_monitor})
 
         return state
 
@@ -155,17 +220,35 @@ class Trainer:
         return record
 
     def _validate(self, eval_step, params, val_instances, key) -> dict:
+        """Full-set evaluation: every instance counts, batch means weighted by
+        batch size (the ragged tail costs one extra compile, cached by shape)."""
         cfg = self.config
         n = jax.tree_util.tree_leaves(val_instances)[0].shape[0]
-        rewards = []
+        sums: dict = {}
+        total = 0
         for start in range(0, n, cfg.val_batch_size):
             stop = min(start + cfg.val_batch_size, n)
-            if stop - start < cfg.val_batch_size and start > 0:
-                break  # drop ragged tail to avoid a recompile
             batch = jax.tree_util.tree_map(lambda x: x[start:stop], val_instances)
-            m = eval_step(params, batch, key)
-            rewards.append(float(m["reward"]))
-        return {"reward": float(np.mean(rewards))}
+            m = jax.device_get(eval_step(params, batch, key))
+            w = stop - start
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * w
+            total += w
+        return {k: v / total for k, v in sums.items()}
+
+
+def _ckpt_tree(state, epoch: int, best_monitor: float, host: dict) -> dict:
+    """Composite checkpoint pytree: TrainState + trainer progress + the
+    rollout baseline's incumbent rewards (reference REINFORCE checkpoints
+    restore baseline state too, `rl/reinforce/reinforce.py:163-208`)."""
+    tree = {
+        "state": state,
+        "epoch": np.int64(epoch),
+        "best_monitor": np.float64(best_monitor),
+    }
+    if host.get("eval_rewards") is not None:
+        tree["eval_rewards"] = np.asarray(host["eval_rewards"])
+    return tree
 
 
 def _fmt(v):

@@ -63,6 +63,67 @@ def test_rollout_baseline_ttest_updates():
     assert (np.asarray(host2["eval_rewards"]) > -50).all()  # updated rewards
 
 
+def test_named_val_datasets_and_ragged_tail():
+    """Multiple named val sets during fit (reference `rl/common/base.py:281-316`)
+    + every instance counted even when val size % batch != 0."""
+    env = get_env("tsp", num_loc=6)
+    # instance norm: per-instance outputs independent of batch composition,
+    # so the weighted batch-mean must equal the full-set mean exactly
+    policy = AttentionModelPolicy(env_name="tsp", embed_dim=16,
+                                  num_encoder_layers=1, feedforward_hidden=32,
+                                  num_heads=2, normalization="instance")
+    algo = REINFORCE(env=env, policy=policy, baseline="mean",
+                     train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    cfg = TrainerConfig(epochs=1, batch_size=4, train_data_size=12,
+                        val_data_size=8, val_batch_size=3, seed=0)
+    trainer = Trainer(algo, cfg, logger=lambda m: None)
+    sets = {
+        "a": env.generate_batch(jax.random.PRNGKey(10), 8),
+        "b": env.generate_batch(jax.random.PRNGKey(11), 5),
+    }
+    trainer.fit(val_datasets=sets)
+    rec = trainer.history[-1]
+    assert "val/a/reward" in rec and "val/b/reward" in rec
+    # ragged-tail correctness: weighted mean == full-batch mean
+    eval_step = algo.make_eval_step()
+    state = algo.init(jax.random.PRNGKey(0))
+    exact = float(eval_step(state.params, sets["a"], jax.random.PRNGKey(0))["reward"])
+    weighted = trainer._validate(eval_step, state.params, sets["a"],
+                                 jax.random.PRNGKey(0))["reward"]
+    np.testing.assert_allclose(weighted, exact, rtol=1e-5)
+
+
+def test_checkpoint_resume_reproduces_uninterrupted_run(tmp_path):
+    """Kill-and-resume: 2+2 epochs with a restart must match 4 straight epochs
+    (VERDICT #4 done-criterion; reference `trainer.fit(ckpt_path)`)."""
+    def make(ckpt_dir):
+        algo, cfg = tiny_setup(baseline="rollout")
+        cfg.epochs = 4
+        cfg.ckpt_dir = ckpt_dir
+        return algo, Trainer(algo, cfg, logger=lambda m: None)
+
+    # uninterrupted
+    _, tr_full = make(None)
+    state_full = tr_full.fit()
+    curve_full = [r["val/reward"] for r in tr_full.history if "val/reward" in r]
+
+    # interrupted after epoch 2
+    algo, tr_a = make(str(tmp_path / "ck"))
+    tr_a.config.epochs = 2
+    tr_a.fit()
+    algo_b, tr_b = make(str(tmp_path / "ck"))
+    state_b = tr_b.fit(resume_from=str(tmp_path / "ck" / "last"))
+    curve_b = [r["val/reward"] for r in tr_b.history if "val/reward" in r]
+
+    assert int(state_b.step) == int(state_full.step)
+    np.testing.assert_allclose(curve_b, curve_full[2:], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_full.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    # best checkpoint exists alongside last (reference ModelCheckpoint top-1)
+    assert (tmp_path / "ck" / "best").exists()
+
+
 def test_optim_factories_and_schedules():
     """By-name optimizer/schedule factories (reference `optim_helpers.py:25-49`,
     POMO MultiStepLR config)."""
@@ -108,7 +169,7 @@ def test_trainer_test_phase_named_datasets():
         "uniform2": env.generate_batch(jax.random.PRNGKey(8), 8),
     }
     record = trainer.test(state, datasets)
-    assert set(record) == {"test/uniform/reward", "test/uniform2/reward"}
+    assert {"test/uniform/reward", "test/uniform2/reward"} <= set(record)
     assert all(np.isfinite(v) for v in record.values())
     # default: generated test set
     record2 = trainer.test(state)

@@ -67,12 +67,19 @@ def evaluate_policy(
     batch_size: Optional[int] = None,
     num_starts: Optional[int] = None,
     tanh_clipping: float = 10.0,
+    return_actions: bool = False,
+    check_solutions: bool = False,
     **method_overrides,
 ) -> dict:
     """Evaluate ``policy`` on ``instances``; returns per-instance best rewards.
 
     Auto batch-size shrinks with starts×augs×samples like the reference
     (`eval.py:302-330`).
+
+    ``return_actions``: also return the per-instance best action sequences.
+    ``check_solutions``: assert `env.check_solution_validity` on every eval
+    batch's best actions (reference defensive check, `envs/common/base.py:211-215`)
+    — implies ``return_actions``.
     """
     if key is None:
         key = jax.random.PRNGKey(1234)
@@ -105,27 +112,51 @@ def evaluate_policy(
     )
     repeats = s if (m.multistart or m.num_samples > 1) and not beam else 1
 
+    return_actions = return_actions or check_solutions
+
+    def _best_of(r, acts, group):
+        """Reduce a grouped axis by max reward, gathering the winning actions."""
+        rg = unbatchify(r, group)                     # [B', group]
+        best = jnp.argmax(rg, axis=-1)
+        r = jnp.take_along_axis(rg, best[:, None], axis=1)[:, 0]
+        if acts is not None:
+            ag = unbatchify(acts, group)              # [B', group, T]
+            acts = jnp.take_along_axis(ag, best[:, None, None], axis=1)[:, 0]
+        return r, acts
+
     @jax.jit
     def run_batch(params, batch, k):
         if a > 1:
             batch = augment_instances(batch, a, m.augment_fn, key=k)
         out = rollout(policy, params, env, batch, k, spec)
-        r = out.reward
+        r, acts = out.reward, (out.actions if return_actions else None)
         if repeats > 1:
-            r = unbatchify(r, repeats).max(axis=-1)  # [A*B]
+            r, acts = _best_of(r, acts, repeats)      # [A*B]
         if a > 1:
-            r = unbatchify(r, a).max(axis=-1)  # [B]
-        return r
+            r, acts = _best_of(r, acts, a)            # [B]
+        return (r, acts) if return_actions else (r, None)
 
     n = jax.tree_util.tree_leaves(instances)[0].shape[0]
-    rewards = []
+    rewards, actions = [], []
+
+    def _consume(r, acts, batch, keep):
+        rewards.append(np.asarray(r)[:keep])
+        if return_actions:
+            acts = np.asarray(acts)[:keep]
+            actions.append(acts)
+            if check_solutions:
+                inst = jax.tree_util.tree_map(lambda x: np.asarray(x)[:keep], batch)
+                for i in range(keep):
+                    one = jax.tree_util.tree_map(lambda x: x[i], inst)
+                    env.check_solution_validity(one, acts[i])
+
     t0 = time.perf_counter()
     for start in range(0, n - batch_size + 1, batch_size):
         batch = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x[start : start + batch_size]), instances
         )
-        r = run_batch(params, batch, jax.random.fold_in(key, start))
-        rewards.append(np.asarray(r))
+        r, acts = run_batch(params, batch, jax.random.fold_in(key, start))
+        _consume(r, acts, batch, batch_size)
     # ragged tail: evaluate by padding up to batch_size to avoid a recompile
     done_n = (n // batch_size) * batch_size
     if done_n < n:
@@ -136,14 +167,17 @@ def evaluate_policy(
             ),
             instances,
         )
-        r = run_batch(params, batch, jax.random.fold_in(key, done_n))
-        rewards.append(np.asarray(r)[:tail])
+        r, acts = run_batch(params, batch, jax.random.fold_in(key, done_n))
+        _consume(r, acts, batch, tail)
     dt = time.perf_counter() - t0
     rewards = np.concatenate(rewards)
-    return {
+    res = {
         "rewards": rewards,
         "mean_reward": float(rewards.mean()),
         "inference_time": dt,
         "instances_per_s": n / dt,
         "method": method,
     }
+    if return_actions:
+        res["actions"] = np.concatenate(actions)
+    return res

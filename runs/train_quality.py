@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Quality-parity training runs (the BASELINE.md north-star quality axis).
+
+Reproduces the reference training recipes on TPU and records
+validity-checked optimality gaps against known optima:
+
+- ``am_tsp50``   — AM + REINFORCE(rollout baseline) on TSP-50
+  (reference `configs/experiment/base.yaml:34-48`: batch 512,
+  1,280,000 samples/epoch, 100 epochs, Adam lr 1e-4, seed 1234).
+- ``pomo_cvrp50`` — POMO on CVRP-50
+  (reference `configs/experiment/routing/pomo.yaml`: batch 64,
+  160,000 samples/epoch, 100 epochs, AdamW lr 1e-4 wd 1e-6,
+  MultiStepLR milestones [80, 95] gamma 0.1).
+- ``am_tsp20``   — same recipe as am_tsp50 at N=20 (fast sanity run).
+- ``amxl_tsp100`` — AM-XL on TSP-100 (BASELINE.json config; reference
+  `configs/experiment/routing/am-xl.yaml:22-27`: 6 encoder layers,
+  instance norm, batch 2048, AdamW wd 1e-6).
+
+Usage (TPU):
+    python runs/train_quality.py --preset am_tsp50 --epochs 100
+Outputs:
+    runs/<preset>.jsonl        per-epoch training/val curve
+    runs/<preset>_eval.json    final eval-protocol table with optimality
+                               gaps; every eval batch's best actions are
+                               asserted valid via env.check_solution_validity
+    runs/ckpt_<preset>/        best + last checkpoints (not committed)
+
+Optimality anchors (average optimal tour cost on uniform [0,1]^2 instances,
+Kool et al. 2019 "Attention, Learn to Solve Routing Problems!" Table 1 —
+Concorde for TSP, LKH3 for CVRP):
+    TSP-20 3.84, TSP-50 5.70, TSP-100 7.76, CVRP-50 10.38
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNS = os.path.join(ROOT, "runs")
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+import jax  # noqa: E402
+
+OPTIMA = {"tsp": {20: 3.84, 50: 5.70, 100: 7.76}, "cvrp": {50: 10.38}}
+
+PRESETS = {
+    "am_tsp50": dict(env="tsp", num_loc=50, model="am", batch_size=512,
+                     train_data_size=1_280_000, epochs=100, lr=1e-4,
+                     val_batch_size=1024,
+                     eval_methods=("greedy", "augment_dihedral_8")),
+    "am_tsp20": dict(env="tsp", num_loc=20, model="am", batch_size=512,
+                     train_data_size=1_280_000, epochs=100, lr=1e-4,
+                     val_batch_size=1024,
+                     eval_methods=("greedy", "augment_dihedral_8")),
+    "pomo_cvrp50": dict(env="cvrp", num_loc=50, model="pomo", batch_size=64,
+                        train_data_size=160_000, epochs=100, lr=1e-4,
+                        weight_decay=1e-6, milestones=(80, 95),
+                        val_batch_size=128,
+                        eval_methods=("multistart_greedy",
+                                      "multistart_greedy_augment_dihedral_8")),
+    "pomo_tsp50": dict(env="tsp", num_loc=50, model="pomo", batch_size=64,
+                       train_data_size=160_000, epochs=100, lr=1e-4,
+                       weight_decay=1e-6, milestones=(80, 95),
+                       val_batch_size=128,
+                       eval_methods=("multistart_greedy",
+                                     "multistart_greedy_augment_dihedral_8")),
+    "amxl_tsp100": dict(env="tsp", num_loc=100, model="am-xl", batch_size=2048,
+                        train_data_size=1_280_000, epochs=100, lr=1e-4,
+                        weight_decay=1e-6, milestones=(480, 495),
+                        val_batch_size=1024,
+                        eval_methods=("greedy", "augment_dihedral_8")),
+}
+
+
+def build_preset(p: dict, precision: str = "bf16-mixed"):
+    from rl4co_tpu.decoding import DecodeSpec
+    from rl4co_tpu.envs import get_env
+    from rl4co_tpu.utils.optim import get_lr_schedule
+
+    env = get_env(p["env"], num_loc=p["num_loc"])
+    compute_dtype = "bfloat16" if precision == "bf16-mixed" else None
+    train_spec = DecodeSpec(kind="sampling", tanh_clipping=10.0,
+                            compute_dtype=compute_dtype)
+    steps_per_epoch = max(1, p["train_data_size"] // p["batch_size"])
+    schedule = None
+    if p.get("milestones"):
+        schedule = get_lr_schedule("multistep", p["lr"],
+                                   milestones=p["milestones"], gamma=0.1,
+                                   steps_per_epoch=steps_per_epoch)
+    opt_name = "adamw" if p.get("weight_decay") else "adam"
+
+    if p["model"] in ("am", "am-xl"):
+        from rl4co_tpu.models import AttentionModelPolicy
+        from rl4co_tpu.rl.reinforce import REINFORCE
+
+        pkw = {}
+        if p["model"] == "am-xl":
+            pkw = dict(num_encoder_layers=6, normalization="instance")
+        policy = AttentionModelPolicy(env_name=env.name, **pkw)
+        algo = REINFORCE(env=env, policy=policy, baseline="rollout",
+                         train_spec=train_spec, lr=p["lr"],
+                         optimizer=opt_name, lr_schedule=schedule)
+    elif p["model"] == "pomo":
+        from rl4co_tpu.models.zoo.pomo import POMO, make_pomo_policy
+
+        policy = make_pomo_policy(env.name)
+        algo = POMO(env=env, policy=policy, train_spec=train_spec, lr=p["lr"],
+                    optimizer=opt_name, lr_schedule=schedule)
+    else:
+        raise ValueError(p["model"])
+    return env, algo
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--train-size", type=int, default=None)
+    ap.add_argument("--eval-size", type=int, default=10_000)
+    ap.add_argument("--precision", default="bf16-mixed",
+                    choices=["bf16-mixed", "f32"])
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from runs/ckpt_<preset>/last")
+    ap.add_argument("--tag", default="", help="suffix for output files")
+    args = ap.parse_args(argv)
+
+    p = dict(PRESETS[args.preset])
+    if args.epochs is not None:
+        p["epochs"] = args.epochs
+    if args.train_size is not None:
+        p["train_data_size"] = args.train_size
+
+    from rl4co_tpu.loggers import JSONLLogger, MultiLogger
+    from rl4co_tpu.tasks.eval import evaluate_policy
+    from rl4co_tpu.trainer import Trainer, TrainerConfig
+
+    name = args.preset + (f"_{args.tag}" if args.tag else "")
+    env, algo = build_preset(p, args.precision)
+    ckpt_dir = os.path.join(RUNS, f"ckpt_{name}")
+    cfg = TrainerConfig(
+        epochs=p["epochs"],
+        batch_size=p["batch_size"],
+        train_data_size=p["train_data_size"],
+        val_data_size=10_000,
+        val_batch_size=p["val_batch_size"],
+        seed=1234,                      # reference seed (base.yaml:48)
+        log_every=200,
+        ckpt_dir=ckpt_dir,
+    )
+    log_path = os.path.join(RUNS, f"{name}.jsonl")
+    logger = MultiLogger(
+        JSONLLogger(log_path),
+        lambda m: print(json.dumps(
+            {k: (round(float(v), 5) if _isnum(v) else str(v))
+             for k, v in m.items()}), flush=True),
+    )
+    trainer = Trainer(algo, cfg, logger=logger)
+    t0 = time.time()
+    state = trainer.fit(
+        resume_from=os.path.join(ckpt_dir, "last") if args.resume else None
+    )
+    train_h = (time.time() - t0) / 3600
+
+    # ---- final eval: reference protocol, validity-checked ----
+    # test convention: seed 1234, 10k instances (reference
+    # `configs/env/tsp.yaml:8-10`, `data/generate_data.py:214+`)
+    test = env.generate_batch(jax.random.PRNGKey(1234), args.eval_size)
+    opt = OPTIMA.get(p["env"], {}).get(p["num_loc"])
+    table = {}
+    for method in p["eval_methods"]:
+        res = evaluate_policy(env, algo.policy, state.params, test,
+                              method=method, check_solutions=True)
+        cost = -res["mean_reward"]
+        row = {"mean_cost": cost, "instances_per_s": res["instances_per_s"],
+               "n_instances": int(res["rewards"].shape[0]),
+               "validity_checked": True}
+        if opt:
+            row["gap_pct"] = 100.0 * (cost - opt) / opt
+            row["optimum_anchor"] = opt
+        table[method] = row
+        print(json.dumps({"eval": method, **{k: round(v, 4) if _isnum(v) else v
+                                             for k, v in row.items()}}), flush=True)
+    out = {
+        "preset": args.preset,
+        "recipe": {k: v for k, v in p.items() if _isnum(v) or isinstance(v, (str, tuple))},
+        "precision": args.precision,
+        "train_hours": round(train_h, 3),
+        "device": str(jax.devices()[0]),
+        "eval": table,
+        "cmd": f"python runs/train_quality.py --preset {args.preset}"
+               + (f" --epochs {p['epochs']}" if args.epochs is not None else ""),
+    }
+    with open(os.path.join(RUNS, f"{name}_eval.json"), "w") as f:
+        json.dump(out, f, indent=2, default=str)
+    print("WROTE", os.path.join(RUNS, f"{name}_eval.json"), flush=True)
+
+
+def _isnum(v):
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""In-tree multi-device correctness tests (SURVEY.md §2.10; VERDICT r1 #3).
+
+Runs on the simulated 8-device CPU mesh from conftest.py. The contract
+mirrors the reference's DDP guarantee (`rl4co/utils/trainer.py:73-86`):
+data-parallel training must be numerically equivalent to single-device
+training — GSPMD's psum gradient reduction is the all-reduce.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rl4co_tpu.decoding import DecodeSpec
+from rl4co_tpu.envs import get_env
+from rl4co_tpu.models import AttentionModelPolicy
+from rl4co_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from rl4co_tpu.rl.reinforce import REINFORCE
+
+
+def make_algo(baseline="mean"):
+    env = get_env("tsp", num_loc=8)
+    policy = AttentionModelPolicy(env_name="tsp", embed_dim=16,
+                                  num_encoder_layers=1, feedforward_hidden=32,
+                                  num_heads=2, normalization="instance")
+    return REINFORCE(env=env, policy=policy, baseline=baseline,
+                     train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["dp"] == 8 and mesh.shape["model"] == 1
+    mesh2 = make_mesh(dp=4, model=2)
+    assert mesh2.shape == {"dp": 4, "model": 2}
+
+
+def test_shard_batch_places_on_dp():
+    mesh = make_mesh()
+    x = jnp.arange(16 * 3, dtype=jnp.float32).reshape(16, 3)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec == P("dp")
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_sharded_train_steps_match_unsharded():
+    """3 REINFORCE train steps on a dp=8 mesh == 3 unsharded steps.
+
+    Same RNG keys -> identical generated instances and trajectories; the psum
+    gradient reduction must reproduce the single-device gradient up to
+    float reassociation.
+    """
+    algo = make_algo()
+    batch = 16  # divisible by dp=8
+
+    state_ref = algo.init(jax.random.PRNGKey(0))
+    step_ref = algo.make_train_step(batch, donate=False)
+
+    mesh = make_mesh()
+    state_sh = algo.init(jax.random.PRNGKey(0))
+    state_sh = replicate(state_sh, mesh)
+    step_sh = algo.make_train_step(batch, mesh=mesh, donate=False)
+
+    for i in range(3):
+        k = jax.random.PRNGKey(42 + i)
+        state_ref, m_ref = step_ref(state_ref, k)
+        state_sh, m_sh = step_sh(state_sh, k)
+        np.testing.assert_allclose(float(m_ref["reward"]), float(m_sh["reward"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m_ref["loss"]), float(m_sh["loss"]),
+                                   rtol=2e-4, atol=1e-5)
+
+    # Adam amplifies float-reassociation sign noise on near-zero gradients
+    # into ±lr param differences, so bound absolute drift by a few update
+    # sizes rather than demanding elementwise closeness.
+    for a, b in zip(jax.tree_util.tree_leaves(state_ref.params),
+                    jax.tree_util.tree_leaves(state_sh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_psum_gradient_equivalence():
+    """The gradient of the dp-sharded loss equals the single-device gradient
+    (GSPMD psum == DDP all-reduce; reference `utils/trainer.py:73-86`)."""
+    algo = make_algo()
+    mesh = make_mesh()
+    state = algo.init(jax.random.PRNGKey(0))
+    instances = algo.env.generate_batch(jax.random.PRNGKey(1), 16)
+    kroll = jax.random.PRNGKey(2)
+
+    def loss_fn(params, inst):
+        return algo.loss(params, state.baseline_state, inst, kroll)[0]
+
+    g_ref = jax.jit(jax.grad(loss_fn))(state.params, instances)
+
+    sharding = NamedSharding(mesh, P("dp"))
+
+    @jax.jit
+    def sharded_grad(params, inst):
+        inst = jax.lax.with_sharding_constraint(inst, sharding)
+        return jax.grad(loss_fn)(params, inst)
+
+    g_sh = sharded_grad(replicate(state.params, mesh),
+                        shard_batch(instances, mesh))
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_rollout_baseline_and_eval():
+    """Rollout-baseline training executes sharded, and greedy eval rewards of
+    a dp-sharded batch match the unsharded rewards exactly per instance."""
+    algo = make_algo(baseline="rollout")
+    mesh = make_mesh()
+    state = replicate(algo.init(jax.random.PRNGKey(0)), mesh)
+    step = algo.make_train_step(16, mesh=mesh, donate=False)
+    state, metrics = step(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    env = algo.env
+    instances = env.generate_batch(jax.random.PRNGKey(2), 16)
+    fn = jax.jit(algo.greedy_reward_fn())
+    r_plain = np.asarray(fn(jax.device_get(state.params), instances))
+    r_shard = np.asarray(fn(state.params, shard_batch(instances, mesh)))
+    np.testing.assert_allclose(r_plain, r_shard, rtol=1e-5)
+
+
+def test_scaling_proxy_dp_counts():
+    """The full jitted train step compiles and runs at dp in {1, 2, 4, 8}
+    (the driver's dryrun_multichip exercises 8; this pins every power of two
+    so a mesh-shape regression can't hide)."""
+    algo = make_algo()
+    for dp in (1, 2, 4, 8):
+        mesh = make_mesh(devices=jax.devices()[:dp], dp=dp)
+        state = replicate(algo.init(jax.random.PRNGKey(0)), mesh)
+        step = algo.make_train_step(16, mesh=mesh, donate=False)
+        state, metrics = step(state, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"])), dp

@@ -50,6 +50,23 @@ def test_stronger_methods_dominate_greedy():
     assert aug["mean_reward"] >= greedy["mean_reward"] - 0.02
 
 
+@pytest.mark.parametrize("env_name", ["tsp", "cvrp"])
+def test_evaluate_policy_checks_solution_validity(env_name):
+    """check_solutions=True asserts env.check_solution_validity on the best
+    actions of every eval batch (VERDICT: validity-checked eval protocol)."""
+    env = get_env(env_name, num_loc=6)
+    policy = AttentionModelPolicy(env_name=env_name, embed_dim=16,
+                                  num_encoder_layers=1, feedforward_hidden=32,
+                                  num_heads=2)
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    instances = env.generate_batch(jax.random.PRNGKey(1), 7)
+    res = evaluate_policy(env, policy, params, instances,
+                          method="multistart_greedy_augment_dihedral_8",
+                          batch_size=4, check_solutions=True)
+    assert res["rewards"].shape == (7,)
+    assert res["actions"].shape[0] == 7
+
+
 def test_beam_search_dominates_greedy():
     env, policy, params = setup()
     instances = env.generate_batch(jax.random.PRNGKey(1), 8)

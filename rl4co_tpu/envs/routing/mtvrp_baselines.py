@@ -80,31 +80,12 @@ def solve(
     if solver == "greedy":
         assert env is not None, "greedy solver needs env= for masks/reward"
         return greedy_solve(env, instances, **kwargs)
-    if solver == "pyvrp":
-        try:
-            import pyvrp  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "PyVRP is not installed (external native solver; reference "
-                "`baselines/pyvrp.py`)."
-            ) from e
-        raise NotImplementedError("pyvrp adapter: install + wire process pool")
-    if solver == "lkh":
-        try:
-            import lkh  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "LKH is not installed (external native solver; reference "
-                "`baselines/lkh.py`)."
-            ) from e
-        raise NotImplementedError("lkh adapter: install + wire process pool")
-    if solver == "ortools":
-        try:
-            from ortools.constraint_solver import pywrapcp  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "OR-Tools is not installed (external native solver; reference "
-                "`baselines/ortools.py`)."
-            ) from e
-        raise NotImplementedError("ortools adapter: install + wire process pool")
-    raise ValueError(f"Unknown solver {solver!r}")
+    from rl4co_tpu.envs.routing.solver_adapters import SOLVERS, solve_batch
+
+    if solver in SOLVERS:
+        actions, rewards = solve_batch(
+            instances, solver, max_runtime=max_runtime, num_procs=num_procs,
+            **kwargs,
+        )
+        return actions, -rewards  # dispatch returns reward; solve() costs
+    raise ValueError(f"Unknown solver {solver!r}. Available: greedy, {SOLVERS}")

@@ -43,18 +43,23 @@ def _np(x):
 
 
 def _routes_from_actions(actions: np.ndarray, depot_ids) -> list:
-    """Split a flat action sequence into routes at depot visits."""
-    depot_ids = set(int(d) for d in np.atleast_1d(depot_ids))
+    """Split a flat action sequence into ``(depot, route)`` pairs at depot
+    visits. Each route is anchored at the depot that opened it (multi-depot
+    envs like mdcpdp hand over between depots mid-sequence)."""
+    depot_list = [int(d) for d in np.atleast_1d(depot_ids)]
+    depot_set = set(depot_list)
     routes, cur = [], []
+    depot = depot_list[0]
     for a in actions.tolist():
-        if a in depot_ids:
+        if a in depot_set:
             if cur:
-                routes.append(cur)
+                routes.append((depot, cur))
             cur = []
+            depot = a
         else:
             cur.append(a)
     if cur:
-        routes.append(cur)
+        routes.append((depot, cur))
     return routes
 
 
@@ -81,10 +86,9 @@ def render_routes(locs, actions, depot_ids=(0,), ax=None, title=None,
     locs, actions = _np(locs), _np(actions).astype(int)
     routes = _routes_from_actions(actions, depot_ids)
     cmap = plt.get_cmap("tab10")
-    for ri, route in enumerate(routes):
+    for ri, (d, route) in enumerate(routes):
         if not route:
             continue
-        d = int(np.atleast_1d(depot_ids)[0])
         path = locs[[d] + route + [d]]
         ax.plot(path[:, 0], path[:, 1], "-", color=cmap(ri % 10), lw=1,
                 label=f"route {ri}" if ri < 10 else None)
@@ -227,13 +231,15 @@ def render(env, instance, actions=None, state=None, ax=None):
 
     if name == "ffsp":
         st = state if state is not None else _replay(env, instance, actions)
-        sched = _np(st.schedule)  # [M_total, J+1] start times
+        sched = _np(st.schedule)  # [M_total, J+1] start times; col J = wait job
         m_ids, j_ids = np.nonzero(sched > -1)
         run = _np(instance["run_time"]) if "run_time" in instance else None
+        num_job = run.shape[0] if run is not None else sched.shape[1] - 1
+        keep = j_ids < num_job  # drop the dummy wait-job column
+        m_ids, j_ids = m_ids[keep], j_ids[keep]
         starts = sched[m_ids, j_ids]
-        num_m = sched.shape[0] // max(1, getattr(env, "num_stage", 1))
-        durs = (run[j_ids, m_ids % num_m, m_ids // num_m]
-                if run is not None and run.ndim == 3 else np.ones_like(starts))
+        # run_time layout is [J, M_total] (ffsp.py::generate)
+        durs = run[j_ids, m_ids] if run is not None else np.ones_like(starts)
         return render_gantt(starts, durs, m_ids, labels=j_ids, ax=ax, title="ffsp")
 
     if name in ("fjsp", "jssp"):

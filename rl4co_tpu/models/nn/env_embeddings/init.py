@@ -24,14 +24,39 @@ class TSPInitEmbedding(nn.Module):
 
 
 class MatNetInitEmbedding(nn.Module):
-    """Row zeros + one-hot-ish column embeddings for matrix problems
-    (reference `init.py:71-112`, mode='RandomOnehot')."""
+    """Initial row/column embeddings for MatNet (reference `init.py:71-112`):
+    rows start at zero; columns get a random permutation one-hot (mode
+    'RandomOneHot') or uniform noise (mode 'Random'). Returns
+    ``(row_emb [B,R,D], col_emb [B,C,D], cost_matrix [B,R,C])``.
+
+    The MatNet encoder in this framework (`models/zoo/matnet.py`) builds
+    these internally from the cost matrix; this module exists for API parity
+    and for composing MatNet-style encoders over the generic registry.
+    """
 
     embed_dim: int
+    mode: str = "RandomOneHot"
 
     @nn.compact
-    def __call__(self, instance) -> jax.Array:
-        raise NotImplementedError("Use MatNet encoder path (consumes cost matrix).")
+    def __call__(self, instance):
+        assert self.mode in ("RandomOneHot", "Random"), self.mode
+        dmat = instance["cost_matrix"]
+        b, r, c = dmat.shape
+        row_emb = jnp.zeros((b, r, self.embed_dim), dtype=dmat.dtype)
+        key = self.make_rng("embed")
+        if self.mode == "RandomOneHot":
+            assert c <= self.embed_dim, (
+                f"RandomOneHot needs embed_dim >= num columns ({c})"
+            )
+            # random one-hot: column j of instance i lights a distinct slot
+            slots = jax.vmap(
+                lambda k: jax.random.permutation(k, self.embed_dim)[:c]
+            )(jax.random.split(key, b))                     # [B, C]
+            col_emb = jax.nn.one_hot(slots, self.embed_dim, dtype=dmat.dtype)
+        else:
+            col_emb = jax.random.uniform(key, (b, c, self.embed_dim),
+                                         dtype=dmat.dtype)
+        return row_emb, col_emb, dmat
 
 
 class VRPInitEmbedding(nn.Module):
@@ -356,6 +381,7 @@ class MCPInitEmbedding(nn.Module):
 
 
 INIT_EMBEDDING_REGISTRY: dict[str, type] = {
+    "atsp": MatNetInitEmbedding,
     "smtwtp": SMTWTPInitEmbedding,
     "svrp": SVRPInitEmbedding,
     "dpp": DPPInitEmbedding,

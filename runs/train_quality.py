@@ -44,6 +44,12 @@ RUNS = os.path.join(ROOT, "runs")
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
+# Persistent compilation cache: TSP-50-scale train steps take minutes to
+# compile on the TPU; cache hits make reruns/resumes start instantly.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 import jax  # noqa: E402
 
 OPTIMA = {"tsp": {20: 3.84, 50: 5.70, 100: 7.76}, "cvrp": {50: 10.38}}

@@ -40,6 +40,34 @@ def test_random_rollout(env_name):
         env.check_solution_validity(inst_b, np.asarray(actions)[b])
 
 
+MTVRP_VARIANTS = [
+    "cvrp", "ovrp", "vrpb", "vrpl", "vrptw", "ovrptw", "ovrpb", "ovrpl",
+    "vrpbl", "vrpbtw", "vrpltw", "ovrpbl", "ovrpbtw", "ovrpltw", "vrpbltw",
+    "ovrpbltw",
+]
+
+
+@pytest.mark.parametrize("variant", MTVRP_VARIANTS)
+def test_mtvrp_all_16_variants_rollout_valid(variant):
+    """All 16 MTVRP variants roll out to valid solutions (reference
+    parametrizes the same matrix, `tests/test_envs.py:67-90`)."""
+    env = get_env("mtvrp", num_loc=8, variant_preset=variant,
+                  use_combinations=False)
+    instances, state, actions, reward = env.rollout_random(
+        jax.random.PRNGKey(3), 4)
+    assert bool(state.done.all())
+    assert np.isfinite(np.asarray(reward)).all()
+    inst_np = jax.device_get(instances)
+    # preset flags actually took effect
+    is_open = bool(np.asarray(inst_np["open_route"]).all())
+    assert is_open == variant.startswith("o")
+    has_b = bool((np.asarray(inst_np["demand_backhaul"]) > 0).any())
+    assert has_b == ("b" in variant[1:] if variant.startswith("o") else "b" in variant)
+    for b in range(4):
+        inst_b = jax.tree_util.tree_map(lambda x: x[b], inst_np)
+        env.check_solution_validity(inst_b, np.asarray(actions)[b])
+
+
 @pytest.mark.parametrize("env_name", ["tsp", "cvrp", "op", "pctsp"])
 def test_rollout_deterministic_given_seed(env_name):
     env = make_env(env_name, 8)

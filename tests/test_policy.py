@@ -133,3 +133,29 @@ def test_beam_search_no_select_best_shapes():
                               jax.random.PRNGKey(2), beam_width=3,
                               select_best=False)
     assert out.reward.shape == (6,)
+
+
+def test_matnet_init_embedding_modes():
+    """MatNetInitEmbedding (reference `init.py:71-112`): zero rows + random
+    one-hot / uniform columns derived from the cost matrix."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rl4co_tpu.models.nn.env_embeddings.init import MatNetInitEmbedding
+
+    dmat = jax.random.uniform(jax.random.PRNGKey(0), (3, 5, 5))
+    for mode in ("RandomOneHot", "Random"):
+        mod = MatNetInitEmbedding(embed_dim=8, mode=mode)
+        params = mod.init({"params": jax.random.PRNGKey(1),
+                           "embed": jax.random.PRNGKey(2)},
+                          {"cost_matrix": dmat})
+        row, col, out = mod.apply(params, {"cost_matrix": dmat},
+                                  rngs={"embed": jax.random.PRNGKey(3)})
+        assert row.shape == (3, 5, 8) and (np.asarray(row) == 0).all()
+        assert col.shape == (3, 5, 8)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(dmat))
+        if mode == "RandomOneHot":
+            s = np.asarray(col).sum(axis=-1)
+            assert (s == 1).all()                       # one-hot rows
+            assert (np.asarray(col).sum(axis=1) <= 1).all()  # distinct slots

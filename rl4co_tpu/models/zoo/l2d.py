@@ -184,14 +184,17 @@ class L2DAttnPolicy(nn.Module):
 
     embed_dim: int = 128
     num_heads: int = 8
-    num_encoder_layers: int = 2
-    normalization: str = "instance"
+    num_encoder_layers: int = 4
+    normalization: str = "batch"
     scaling_factor: float = 1000.0
+    # reference `matnet_w_sa.py:109-125`: each encoder layer runs ops↔ops and
+    # ma↔ma self-attention before the cross mixed-score update
+    use_self_attention: bool = True
 
     def setup(self):
-        from rl4co_tpu.models.nn.attention import PointerAttention
+        from rl4co_tpu.models.nn.attention import MultiHeadAttention, PointerAttention
         from rl4co_tpu.models.nn.env_embeddings.dynamic import JSSPDynamicEmbedding
-        from rl4co_tpu.models.nn.ops import PositionalEncoding
+        from rl4co_tpu.models.nn.ops import Normalization, PositionalEncoding
         from rl4co_tpu.models.zoo.matnet import MatNetLayer
 
         d = self.embed_dim
@@ -203,6 +206,25 @@ class L2DAttnPolicy(nn.Module):
                         normalization=self.normalization, name=f"layer_{i}")
             for i in range(self.num_encoder_layers)
         ]
+        if self.use_self_attention:
+            self.ops_self_attn = [
+                MultiHeadAttention(d, self.num_heads, use_bias=False,
+                                   name=f"ops_sa_{i}")
+                for i in range(self.num_encoder_layers)
+            ]
+            self.ma_self_attn = [
+                MultiHeadAttention(d, self.num_heads, use_bias=False,
+                                   name=f"ma_sa_{i}")
+                for i in range(self.num_encoder_layers)
+            ]
+            self.ops_sa_norm = [
+                Normalization(self.normalization, name=f"ops_sa_norm_{i}")
+                for i in range(self.num_encoder_layers)
+            ]
+            self.ma_sa_norm = [
+                Normalization(self.normalization, name=f"ma_sa_norm_{i}")
+                for i in range(self.num_encoder_layers)
+            ]
         self.project_kvl = nn.Dense(3 * d, use_bias=False, name="project_kvl")
         self.proj_busy = nn.Dense(d, use_bias=False, name="proj_busy")
         self.pointer = PointerAttention(d, self.num_heads, mask_inner=False,
@@ -246,7 +268,12 @@ class L2DAttnPolicy(nn.Module):
         ops_emb = jnp.where(state.pad_mask[..., None], 0.0, ops_emb)
         ma_emb = self.init_ma_embed(self._busy_for(state))
         dmat = proc.swapaxes(-1, -2) / self.scaling_factor  # [B, O, M]
-        for layer in self.layers:
+        for i, layer in enumerate(self.layers):
+            if self.use_self_attention:
+                ops_emb = self.ops_sa_norm[i](
+                    ops_emb + self.ops_self_attn[i](ops_emb)
+                )
+                ma_emb = self.ma_sa_norm[i](ma_emb + self.ma_self_attn[i](ma_emb))
             ops_emb, ma_emb = layer(ops_emb, ma_emb, dmat)
         k, v, lk = jnp.split(self.project_kvl(ops_emb), 3, axis=-1)
         return {"ops_emb": ops_emb, "ma_emb": ma_emb, "k": k, "v": v, "lk": lk}
@@ -366,6 +393,18 @@ class L2DModel:
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
+    def make_eval_step(self, spec: DecodeSpec = None):
+        spec = spec or DecodeSpec(kind="greedy")
+
+        def eval_step(params, instances, key):
+            out = l2d_rollout(self.policy, params, self.env, instances, key, spec)
+            return {"reward": out.reward.mean(), "max_reward": out.reward.max()}
+
+        return jax.jit(eval_step)
+
+    def epoch_end(self, state: TrainState, host: dict):
+        return state, host
+
 
 @dataclasses.dataclass(frozen=True)
 class L2DAttnModel:
@@ -412,3 +451,16 @@ class L2DAttnModel:
             )
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def make_eval_step(self, spec: DecodeSpec = None):
+        spec = spec or DecodeSpec(kind="greedy")
+
+        def eval_step(params, instances, key):
+            out = l2d_attn_rollout(self.policy, params, self.env, instances,
+                                   key, spec)
+            return {"reward": out.reward.mean(), "max_reward": out.reward.max()}
+
+        return jax.jit(eval_step)
+
+    def epoch_end(self, state: TrainState, host: dict):
+        return state, host

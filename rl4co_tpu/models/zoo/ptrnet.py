@@ -201,6 +201,20 @@ class PointerNetworkModel:
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
+    def make_eval_step(self, spec: DecodeSpec = None):
+        spec = spec or DecodeSpec(
+            kind="greedy", tanh_clipping=self.train_spec.tanh_clipping
+        )
+
+        def eval_step(params, instances, key):
+            out = ptrnet_rollout(self.policy, params, self.env, instances, key, spec)
+            return {"reward": out.reward.mean(), "max_reward": out.reward.max()}
+
+        return jax.jit(eval_step)
+
+    def epoch_end(self, state, host: dict):
+        return state, host
+
 
 # Reference exports the policy under this name (`models/__init__.py:41`).
 PointerNetworkPolicy = PointerNetwork

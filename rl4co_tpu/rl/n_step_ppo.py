@@ -45,6 +45,11 @@ class NStepPPO:
     CL_best: bool = False
     action_dim: int = 2  # packed action width (DACT 2, N2S 3, NeuOpt 3*k_max)
     train_spec: DecodeSpec = DecodeSpec(kind="sampling", tanh_clipping=6.0)
+    # CL curriculum pacing for the Trainer adapter (`make_train_step`):
+    # when > 0, cl_num = ceil(CL_scalar * epoch) with epoch = calls // hint
+    # (reference increments CL per epoch, `n_step_ppo.py:131-139`).
+    steps_per_epoch_hint: int = 0
+    eval_t_max: int = 0  # 0 = T_test
 
     def __post_init__(self):
         if self.critic is None:
@@ -229,6 +234,48 @@ class NStepPPO:
                 train_state, env_state, prev_action, jax.random.fold_in(krun, seg)
             )
         return train_state, env_state, metrics
+
+    # ---- Trainer-protocol adapters (so improvement models train through the
+    # generic `rl4co_tpu.trainer.Trainer` / train CLI like every other algo) --
+
+    def make_train_step(self, batch_size: int, mesh=None, donate: bool = False):
+        """One Trainer step = one fresh instance batch improved for T_train
+        moves with n-step PPO updates (host-driven segments)."""
+        segment_step = self.make_segment_step()
+        warmup = self.make_warmup()
+        counter = {"calls": 0}
+
+        def step(train_state: TrainState, key: jax.Array):
+            cl_num = 0
+            if self.steps_per_epoch_hint > 0:
+                import math
+
+                epoch = counter["calls"] // self.steps_per_epoch_hint
+                cl_num = int(math.ceil(epoch * self.CL_scalar))
+            counter["calls"] += 1
+            kd, kt = jax.random.split(jax.random.fold_in(key, train_state.step))
+            instances = self.env.generate_batch(kd, batch_size)
+            train_state, _, metrics = self.train_on_batch(
+                train_state, instances, kt, cl_num=cl_num,
+                segment_step=segment_step, warmup=warmup,
+            )
+            metrics = dict(metrics)
+            metrics["reward"] = -metrics.pop("cost_bsf")
+            return train_state, metrics
+
+        return step
+
+    def make_eval_step(self, spec=None):
+        t_max = self.eval_t_max or self.T_test
+
+        def eval_step(params, instances, key):
+            m = self.evaluate(params, instances, key, t_max=t_max)
+            return {"reward": -m["cost_bsf"], "cost_init": m["cost_init"]}
+
+        return eval_step
+
+    def epoch_end(self, state: TrainState, host: dict):
+        return state, host
 
     def evaluate(self, params, instances, key: jax.Array, t_max: Optional[int] = None):
         """Greedy-free eval: sample T_test improvement steps, report best cost."""

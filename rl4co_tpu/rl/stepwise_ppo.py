@@ -154,3 +154,35 @@ class StepwisePPO:
             )
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def make_eval_step(self, spec: DecodeSpec = None):
+        """Greedy stepwise rollout; reward = -makespan (reference logs the
+        same final objective for the stepwise L2D path)."""
+        spec = spec or DecodeSpec(kind="greedy")
+        t_steps = self.env.max_steps
+
+        def eval_step(params, instances, key):
+            state0 = self.env.reset_batch(instances)
+
+            def body(state, k):
+                mask = self.env.action_mask_batch(state)
+                logits, _ = self.policy.apply(params, state)
+                logprobs = process_logits_spec(
+                    logits.astype(jnp.float32), mask, spec
+                )
+                action, _ = decode_action(k, logprobs, mask, spec)
+                return self.env.step_batch(state, action), None
+
+            final_state, _ = jax.lax.scan(
+                body, state0, jax.random.split(key, t_steps)
+            )
+            makespan = jnp.where(
+                final_state.pad_mask, -jnp.inf, final_state.finish_times
+            ).max(-1)
+            r = -makespan
+            return {"reward": r.mean(), "max_reward": r.max()}
+
+        return jax.jit(eval_step)
+
+    def epoch_end(self, state: TrainState, host: dict):
+        return state, host

@@ -30,7 +30,8 @@ class WorkloadSpec:
 
     env_name: str = "tsp"
     env_kwargs: tuple = ()         # tuple of (key, value) pairs — hashable
-    model: str = "am"              # am | pomo | symnco | ppo | a2c | polynet | deepaco | gfacs
+    # any name in MODEL_BUILDERS (the full zoo; reference configs/model/*.yaml)
+    model: str = "am"
     policy_kwargs: tuple = ()
     lr: float = 1e-4
     baseline: str = "rollout"
@@ -60,54 +61,7 @@ def build(spec: WorkloadSpec, mesh=None, logger=None):
         compute_dtype=compute_dtype,
     )
 
-    if spec.model in ("am", "am-xl"):
-        from rl4co_tpu.models import AttentionModelPolicy
-        from rl4co_tpu.rl.reinforce import REINFORCE
-
-        if spec.model == "am-xl":
-            # reference `configs/experiment/routing/am-xl.yaml:22-27`:
-            # 6 encoder layers, instance norm, batch 2048
-            pkw = {"num_encoder_layers": 6, "normalization": "instance", **pkw}
-        policy = AttentionModelPolicy(env_name=env.name, **pkw)
-        algo = REINFORCE(env=env, policy=policy, baseline=spec.baseline,
-                         train_spec=train_spec, lr=spec.lr)
-    elif spec.model == "pomo":
-        from rl4co_tpu.models.zoo.pomo import POMO, make_pomo_policy
-
-        policy = make_pomo_policy(env.name, **pkw)
-        algo = POMO(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
-    elif spec.model == "symnco":
-        from rl4co_tpu.models.zoo.symnco import SymNCO, SymNCOPolicy
-
-        policy = SymNCOPolicy(env_name=env.name, **pkw)
-        algo = SymNCO(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
-    elif spec.model == "ppo":
-        from rl4co_tpu.models import AttentionModelPolicy
-        from rl4co_tpu.rl.ppo import PPO
-
-        policy = AttentionModelPolicy(env_name=env.name, **pkw)
-        algo = PPO(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
-    elif spec.model == "a2c":
-        from rl4co_tpu.models import AttentionModelPolicy
-        from rl4co_tpu.rl.a2c import A2C
-
-        policy = AttentionModelPolicy(env_name=env.name, **pkw)
-        algo = A2C(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
-    elif spec.model == "polynet":
-        from rl4co_tpu.models.zoo.polynet import PolyNet, PolyNetPolicy
-
-        policy = PolyNetPolicy(env_name=env.name, **pkw)
-        algo = PolyNet(env=env, policy=policy, train_spec=train_spec, lr=spec.lr)
-    elif spec.model == "deepaco":
-        from rl4co_tpu.models.zoo.deepaco import DeepACO
-
-        algo = DeepACO(env=env, lr=spec.lr)
-    elif spec.model == "gfacs":
-        from rl4co_tpu.models.zoo.gfacs import GFACS
-
-        algo = GFACS(env=env, lr=spec.lr)
-    else:
-        raise ValueError(f"Unknown model {spec.model}")
+    algo = _build_model(spec, env, pkw, train_spec)
 
     cfg = TrainerConfig(
         epochs=spec.epochs,
@@ -121,10 +75,164 @@ def build(spec: WorkloadSpec, mesh=None, logger=None):
     return algo, trainer
 
 
+# Every zoo training method launchable by name (reference: one Hydra config
+# per model under configs/model/*.yaml; VERDICT r1 #9). Improvement models
+# (dact/n2s/neuopt) ignore --env (they own their improvement MDP); scheduling
+# models default their env when --env is a routing default.
+MODEL_NAMES = (
+    "am", "am-xl", "pomo", "symnco", "ppo", "a2c", "polynet", "deepaco",
+    "gfacs", "mdam", "ptrnet", "ham", "matnet", "mvmoe", "mvmoe-pomo",
+    "l2d", "l2d-attn", "l2d-ppo", "dact", "n2s", "neuopt",
+)
+
+
+def _build_model(spec: WorkloadSpec, env, pkw: dict, train_spec):
+    name = spec.model
+    lr = spec.lr
+
+    if name in ("am", "am-xl"):
+        from rl4co_tpu.models import AttentionModelPolicy
+        from rl4co_tpu.rl.reinforce import REINFORCE
+
+        if name == "am-xl":
+            # reference `configs/experiment/routing/am-xl.yaml:22-27`:
+            # 6 encoder layers, instance norm, batch 2048
+            pkw = {"num_encoder_layers": 6, "normalization": "instance", **pkw}
+        policy = AttentionModelPolicy(env_name=env.name, **pkw)
+        return REINFORCE(env=env, policy=policy, baseline=spec.baseline,
+                         train_spec=train_spec, lr=lr)
+    if name == "pomo":
+        from rl4co_tpu.models.zoo.pomo import POMO, make_pomo_policy
+
+        return POMO(env=env, policy=make_pomo_policy(env.name, **pkw),
+                    train_spec=train_spec, lr=lr)
+    if name == "symnco":
+        from rl4co_tpu.models.zoo.symnco import SymNCO, SymNCOPolicy
+
+        return SymNCO(env=env, policy=SymNCOPolicy(env_name=env.name, **pkw),
+                      train_spec=train_spec, lr=lr)
+    if name == "ppo":
+        from rl4co_tpu.models import AttentionModelPolicy
+        from rl4co_tpu.rl.ppo import PPO
+
+        return PPO(env=env, policy=AttentionModelPolicy(env_name=env.name, **pkw),
+                   train_spec=train_spec, lr=lr)
+    if name == "a2c":
+        from rl4co_tpu.models import AttentionModelPolicy
+        from rl4co_tpu.rl.a2c import A2C
+
+        return A2C(env=env, policy=AttentionModelPolicy(env_name=env.name, **pkw),
+                   train_spec=train_spec, lr=lr)
+    if name == "polynet":
+        from rl4co_tpu.models.zoo.polynet import PolyNet, PolyNetPolicy
+
+        return PolyNet(env=env, policy=PolyNetPolicy(env_name=env.name, **pkw),
+                       train_spec=train_spec, lr=lr)
+    if name == "deepaco":
+        from rl4co_tpu.models.zoo.deepaco import DeepACO
+
+        return DeepACO(env=env, lr=lr)
+    if name == "gfacs":
+        from rl4co_tpu.models.zoo.gfacs import GFACS
+
+        return GFACS(env=env, lr=lr)
+    if name == "mdam":
+        from rl4co_tpu.models.zoo.mdam import MDAM, MDAMPolicy
+
+        return MDAM(env=env, policy=MDAMPolicy(env_name=env.name, **pkw),
+                    baseline=spec.baseline, train_spec=train_spec, lr=lr)
+    if name == "ptrnet":
+        from rl4co_tpu.models.zoo.ptrnet import PointerNetwork, PointerNetworkModel
+
+        return PointerNetworkModel(env=env, policy=PointerNetwork(**pkw),
+                                   train_spec=train_spec, lr=lr)
+    if name == "ham":
+        from rl4co_tpu.envs import get_env
+        from rl4co_tpu.models.zoo.ham import HeterogeneousAttentionModel
+
+        if env.name not in ("pdp", "mpdp", "mdcpdp"):
+            env = get_env("pdp", **dict(spec.env_kwargs))  # HAM is a PDP method
+        return HeterogeneousAttentionModel(env, policy_kwargs=pkw,
+                                           train_spec=train_spec, lr=lr)
+    if name == "matnet":
+        from rl4co_tpu.envs import get_env
+        from rl4co_tpu.models.zoo.matnet import MatNet
+
+        if env.name != "atsp":
+            env = get_env("atsp", **dict(spec.env_kwargs))
+        return MatNet(env, policy_kwargs=pkw, train_spec=train_spec, lr=lr)
+    if name in ("mvmoe", "mvmoe-pomo"):
+        from rl4co_tpu.models.zoo.mvmoe import MVMoE_AM, MVMoE_POMO
+
+        ctor = MVMoE_POMO if name == "mvmoe-pomo" else MVMoE_AM
+        return ctor(env, policy_kwargs=pkw, train_spec=train_spec, lr=lr)
+    if name in ("l2d", "l2d-attn", "l2d-ppo"):
+        from rl4co_tpu.envs import get_env
+
+        if env.name not in ("fjsp", "jssp"):
+            # L2DAttn's pointer head is the JSSP variant (machine-of-op fixed)
+            env = get_env("jssp" if name == "l2d-attn" else "fjsp")
+        if name == "l2d":
+            from rl4co_tpu.models.zoo.l2d import L2DModel, L2DPolicy
+
+            return L2DModel(env=env, policy=L2DPolicy(**pkw), lr=lr)
+        if name == "l2d-attn":
+            from rl4co_tpu.models.zoo.l2d import L2DAttnModel, L2DAttnPolicy
+
+            return L2DAttnModel(env=env, policy=L2DAttnPolicy(**pkw), lr=lr)
+        from rl4co_tpu.models.zoo.l2d import L2DPolicy
+        from rl4co_tpu.rl.stepwise_ppo import StepwisePPO
+
+        policy = L2DPolicy(**{"with_critic": True, **pkw})
+        return StepwisePPO(env=env, policy=policy, lr=lr)
+    if name in ("dact", "n2s", "neuopt"):
+        # improvement trio on their own MDPs via n-step PPO + CL
+        kw = dict(lr_policy=lr, policy_kwargs=pkw)
+        if name == "dact":
+            from rl4co_tpu.models.zoo.dact import DACT
+
+            return DACT(**kw)
+        if name == "n2s":
+            from rl4co_tpu.models.zoo.n2s import N2S
+
+            return N2S(**kw)
+        from rl4co_tpu.models.zoo.neuopt import NeuOpt
+
+        return NeuOpt(**kw)
+    raise ValueError(f"Unknown model {name}. Available: {MODEL_NAMES}")
+
+
+def run_search(search: str, algo, state, instances, key):
+    """Post-train transductive / hierarchical search (reference transductive
+    zoo + GLOP; VERDICT r1 #9 '--search flag')."""
+    if search == "active_search":
+        from rl4co_tpu.models.zoo.eas import ActiveSearch
+
+        return ActiveSearch(env=algo.env, policy=algo.policy).search(
+            state.params, instances, key)
+    if search == "eas-emb":
+        from rl4co_tpu.models.zoo.eas import EASEmb
+
+        return EASEmb(env=algo.env, policy=algo.policy).search(
+            state.params, instances, key)
+    if search == "eas-lay":
+        from rl4co_tpu.models.zoo.eas import EASLay
+
+        return EASLay(env=algo.env, policy=algo.policy).search(
+            state.params, instances, key)
+    raise ValueError(f"Unknown search {search!r}")
+
+
 def main(argv: Optional[list] = None):
     p = argparse.ArgumentParser(description="rl4co-tpu training")
     p.add_argument("--env", default="tsp")
-    p.add_argument("--model", default="am")
+    p.add_argument("--model", default="am", choices=MODEL_NAMES)
+    p.add_argument("--search", default=None,
+                   choices=["active_search", "eas-emb", "eas-lay"],
+                   help="post-train transductive search on the test set")
+    p.add_argument("--search-size", type=int, default=64)
+    p.add_argument("--search-iters", type=int, default=0,
+                   help="override search max_iters (0 = method default)")
     p.add_argument("--num-loc", type=int, default=20)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=512)
@@ -183,7 +291,27 @@ def main(argv: Optional[list] = None):
     print(f"Workload: {spec}")
     algo, trainer = build(spec, mesh=mesh, logger=logger)
     state = trainer.fit(resume_from=args.resume_from)
+    if args.search:
+        key = jax.random.PRNGKey(spec.seed + 1)
+        instances = algo.env.generate_batch(key, args.search_size)
+        search_obj = run_search(args.search, algo, state, instances, key) \
+            if not args.search_iters else _run_search_iters(
+                args.search, algo, state, instances, key, args.search_iters)
+        best = search_obj["best_reward"]
+        print(json.dumps({"search": args.search,
+                          "best_reward": float(best.mean())}))
     return state
+
+
+def _run_search_iters(search, algo, state, instances, key, iters):
+    import dataclasses as _dc
+
+    from rl4co_tpu.models.zoo.eas import EASEmb, EASLay, ActiveSearch
+
+    cls = {"active_search": ActiveSearch, "eas-emb": EASEmb,
+           "eas-lay": EASLay}[search]
+    return cls(env=algo.env, policy=algo.policy, max_iters=iters).search(
+        state.params, instances, key)
 
 
 if __name__ == "__main__":

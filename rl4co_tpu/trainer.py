@@ -164,9 +164,16 @@ class Trainer:
             record = {
                 "epoch": epoch,
                 "time/epoch_s": train_s,
-                "env_steps_per_s": steps_per_epoch * cfg.batch_size
-                * env.max_steps / train_s,
             }
+            # improvement envs have no fixed episode length (T_train moves
+            # per batch instead of max_steps tokens)
+            ep_len = getattr(env, "max_steps", None)
+            if ep_len is None:
+                ep_len = getattr(self.algo, "T_train", None)
+            if ep_len is not None:
+                record["env_steps_per_s"] = (
+                    steps_per_epoch * cfg.batch_size * ep_len / train_s
+                )
             monitor_val = None
             for name, instances in val_datasets.items():
                 vm = self._validate(eval_step, state.params, instances, kepoch)

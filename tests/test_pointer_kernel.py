@@ -74,3 +74,49 @@ def test_policy_pallas_impl_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_x.reward), np.asarray(out_p.reward), rtol=1e-5
     )
+
+
+def test_blocked_glimpse_matches_reference_large_n():
+    """Variant B (N-blocked online softmax) at N=500 vs the jnp reference —
+    K/V stream through VMEM, so large N can't blow the VMEM budget
+    (VERDICT r1 #2 / SURVEY §7 O(N)-memory decode)."""
+    b, n, d, h = 4, 500, 64, 4
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    q = jax.random.normal(ks[0], (b, d))
+    k = jax.random.normal(ks[1], (b, n, d))
+    v = jax.random.normal(ks[2], (b, n, d))
+    lk = jax.random.normal(ks[3], (b, n, d))
+    w = jax.random.normal(ks[4], (d, d)) / d**0.5
+    mask = jax.random.bernoulli(ks[5], 0.6, (b, n)).at[:, 0].set(True)
+    bias = mask_to_neg_bias(mask)
+    out = fused_pointer_logits(q, k, v, lk, bias, w, h, 0.0)
+    ref = _reference_impl(q, k, v, lk, bias, w, h, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_blocked_glimpse_ragged_n_padding():
+    """N not a multiple of the block: padded columns must contribute nothing."""
+    from rl4co_tpu.ops.pointer_kernel import _blocked_glimpse
+
+    b, n, d, h = 3, 200, 32, 2  # pads 200 -> 256
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    q = jax.random.normal(ks[0], (b, d))
+    k = jax.random.normal(ks[1], (b, n, d))
+    v = jax.random.normal(ks[2], (b, n, d))
+    w = jax.random.normal(ks[3], (d, d)) / d**0.5
+    mask = jax.random.bernoulli(ks[4], 0.5, (b, n)).at[:, 0].set(True)
+    bias = mask_to_neg_bias(mask)
+    proj = _blocked_glimpse(q, k, v, bias, w, h)
+
+    # reference glimpse (no logit-key stage)
+    hd = d // h
+    def split(x):
+        return x.reshape(b, -1, h, hd).swapaxes(1, 2)
+    qh, kh, vh = split(q[:, None, :]), split(k), split(v)
+    s = jnp.einsum("bhld,bhnd->bhln", qh, kh) / hd**0.5 + bias[:, None, None, :]
+    attn = jax.nn.softmax(s, axis=-1)
+    ref = (jnp.einsum("bhln,bhnd->bhld", attn, vh)
+           .swapaxes(1, 2).reshape(b, d) @ w)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(ref),
+                               rtol=3e-4, atol=3e-5)

@@ -24,6 +24,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import inverse_permutation, mark_where_in, set_at
 
 
 @functools.lru_cache(maxsize=4)
@@ -130,14 +131,14 @@ class DPP(Env):
             kn, (), self.num_keepout_min, self.num_keepout_max
         )
         scores = jax.random.uniform(kk, (self.n,))
-        scores = scores.at[probe].set(-1.0)  # probe can't be keepout
+        scores = set_at(scores, probe, -1.0)  # probe can't be keepout
         order = jnp.argsort(-scores)
-        rank = jnp.zeros((self.n,), jnp.int32).at[order].set(jnp.arange(self.n))
+        rank = inverse_permutation(order)
         keepout = rank < num_keepout
         return {"probe": probe.astype(jnp.int32), "keepout": keepout}
 
     def reset(self, instance: Instance) -> DPPState:
-        keepout = instance["keepout"].at[instance["probe"]].set(True)
+        keepout = set_at(instance["keepout"], instance["probe"], True)
         return DPPState(
             locs=self._grid_locs(),
             probe=instance["probe"],
@@ -149,7 +150,7 @@ class DPP(Env):
 
     def step(self, state: DPPState, action: jax.Array) -> DPPState:
         action = action.astype(jnp.int32)
-        placed = state.placed.at[action].set(True)
+        placed = set_at(state.placed, action, True)
         new = state.replace(
             placed=placed,
             i=state.i + 1,
@@ -170,7 +171,7 @@ class DPP(Env):
         pdn, freqs, decap = self._pdn()
         k = placed_idx.shape[0]
         # order nodes: non-placed first (stable by index)
-        placed_mask = jnp.zeros((self.n,), bool).at[placed_idx].set(True)
+        placed_mask = mark_where_in(jnp.zeros((self.n,), bool), placed_idx, True)
         order = jnp.argsort(placed_mask, stable=True)  # non-placed first
         a_idx = order[: self.n - k]
         z1aa = pdn[:, a_idx[:, None], a_idx[None, :]]
@@ -232,7 +233,7 @@ class MDPP(DPP):
         )
         scores = jax.random.uniform(kc, (self.n,))
         order = jnp.argsort(-scores)
-        rank = jnp.zeros((self.n,), jnp.int32).at[order].set(jnp.arange(self.n))
+        rank = inverse_permutation(order)
         probe_mask = rank < num_probes
         num_keepout = jax.random.randint(
             kn, (), self.num_keepout_min, self.num_keepout_max
@@ -240,7 +241,7 @@ class MDPP(DPP):
         kscores = jax.random.uniform(kk, (self.n,))
         kscores = jnp.where(probe_mask, -1.0, kscores)
         korder = jnp.argsort(-kscores)
-        krank = jnp.zeros((self.n,), jnp.int32).at[korder].set(jnp.arange(self.n))
+        krank = inverse_permutation(korder)
         keepout = krank < num_keepout
         return {"probe_mask": probe_mask, "keepout": keepout}
 
@@ -269,7 +270,7 @@ class MDPP(DPP):
         return jnp.where(state.done[:, None], pad, mask)
 
     def step_batch(self, state, action):
-        placed = jax.vmap(lambda p, a: p.at[a].set(True))(
+        placed = jax.vmap(lambda p, a: set_at(p, a, True))(
             state.placed, action.astype(jnp.int32)
         )
         done = state.i >= self.max_decaps - 1
@@ -285,7 +286,7 @@ class MDPP(DPP):
         def one(probe_mask, acts):
             placed = acts[: self.max_decaps].astype(jnp.int32)
             k = self.max_decaps
-            placed_mask = jnp.zeros((self.n,), bool).at[placed].set(True)
+            placed_mask = mark_where_in(jnp.zeros((self.n,), bool), placed, True)
             order = jnp.argsort(placed_mask, stable=True)
             a_idx = order[: self.n - k]
             z1aa = pdn[:, a_idx[:, None], a_idx[None, :]]
@@ -302,7 +303,10 @@ class MDPP(DPP):
             z_init_all = jnp.abs(jnp.diagonal(pdn, axis1=1, axis2=2))     # [F, N]
             # reward per remaining node, scattered back to full index space
             gap = ((z_init_all[:, a_idx] - z_final_diag) * (1e9 / freqs)[:, None]).sum(0) / 10.0
-            rewards = jnp.full((self.n,), -jnp.inf).at[a_idx].set(gap)
+            hit = jnp.arange(self.n)[:, None] == a_idx[None, :]  # [N, N-K]
+            rewards = jnp.where(
+                hit.any(axis=1), (hit * gap[None, :]).sum(axis=1), -jnp.inf
+            )
             masked = jnp.where(probe_mask, rewards, jnp.inf)
             if self.reward_type == "minmax":
                 return jnp.min(masked)

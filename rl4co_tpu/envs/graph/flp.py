@@ -18,7 +18,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
-from rl4co_tpu.utils.ops import get_distance_matrix
+from rl4co_tpu.utils.ops import get_distance_matrix, set_at
 
 
 @struct.dataclass
@@ -65,7 +65,7 @@ class FLP(Env):
 
     def step(self, state: FLPState, action: jax.Array) -> FLPState:
         action = action.astype(jnp.int32)
-        chosen = state.chosen.at[action].set(True)
+        chosen = set_at(state.chosen, action, True)
         distances = jnp.minimum(state.distances, state.orig_distances[action])
         new = state.replace(
             chosen=chosen,

@@ -18,6 +18,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import mark_where_in, set_at
 
 
 @struct.dataclass
@@ -75,8 +76,8 @@ class MCP(Env):
 
     def step(self, state: MCPState, action: jax.Array) -> MCPState:
         action = action.astype(jnp.int32)
-        chosen = state.chosen.at[action].set(True)
-        covered = state.covered.at[state.membership[action]].set(True)
+        chosen = set_at(state.chosen, action, True)
+        covered = mark_where_in(state.covered, state.membership[action], True)
         new = state.replace(
             chosen=chosen,
             covered=covered,

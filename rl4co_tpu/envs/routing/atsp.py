@@ -15,6 +15,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import set_at
 
 
 @struct.dataclass
@@ -61,7 +62,7 @@ class ATSP(Env):
     def step(self, state: ATSPState, action: jax.Array) -> ATSPState:
         action = action.astype(jnp.int32)
         first_node = jnp.where(state.i == 0, action, state.first_node)
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         new = state.replace(
             first_node=first_node,
             current_node=action,
@@ -75,7 +76,7 @@ class ATSP(Env):
 
     def action_mask(self, state: ATSPState) -> jax.Array:
         mask = ~state.visited
-        pad = jnp.zeros_like(mask).at[state.current_node].set(True)
+        pad = set_at(jnp.zeros_like(mask), state.current_node, True)
         return jnp.where(state.done, pad, mask)
 
     def reward(self, state: ATSPState, actions: jax.Array) -> jax.Array:

@@ -23,7 +23,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import get_tour_length, set_at
 
 # Kool et al. 2019 / Hottung et al. 2022 / Kim et al. 2023 capacity schedule
 # (reference `rl4co/envs/routing/cvrp/generator.py:15-30`).
@@ -100,7 +100,7 @@ class CVRP(Env):
         is_depot = action == 0
         selected_demand = state.demand[jnp.clip(action - 1, 0, self.num_loc - 1)]
         used = jnp.where(is_depot, 0.0, state.used_capacity + selected_demand)
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         done = visited.all()
         new = CVRPState(
             locs=state.locs,

@@ -16,6 +16,7 @@ from flax import struct
 
 from rl4co_tpu.envs.base import Instance
 from rl4co_tpu.envs.routing.cvrp import CVRP
+from rl4co_tpu.utils.ops import set_at
 
 
 @struct.dataclass
@@ -63,7 +64,7 @@ class CVRPMVC(CVRP):
         demand_remaining = state.demand_remaining - jnp.where(
             is_depot, 0.0, selected_demand
         )
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         new = state.replace(
             current_node=action,
             used_capacity=used,

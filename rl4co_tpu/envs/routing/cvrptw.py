@@ -18,7 +18,7 @@ from flax import struct
 
 from rl4co_tpu.envs.base import Instance
 from rl4co_tpu.envs.routing.cvrp import CVRP
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import get_tour_length, set_at
 
 
 @struct.dataclass
@@ -101,7 +101,7 @@ class CVRPTW(CVRP):
         )
         selected_demand = state.demand[jnp.clip(action - 1, 0, self.num_loc - 1)]
         used = jnp.where(is_depot, 0.0, state.used_capacity + selected_demand)
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         new = state.replace(
             current_time=current_time,
             used_capacity=used,

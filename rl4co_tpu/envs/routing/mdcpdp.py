@@ -18,6 +18,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import add_at, set_at
 
 
 @struct.dataclass
@@ -105,9 +106,9 @@ class MDCPDP(Env):
         new_to_deliver_idx = (cur + n // 2) % (n + a)
         back_flag = (cur < a) & (cur == state.current_depot) & (state.i > 0)
         available = jnp.where(
-            state.i > 0, state.available.at[cur].set(False), state.available
+            state.i > 0, set_at(state.available, cur, False), state.available
         )
-        to_deliver = state.to_deliver.at[new_to_deliver_idx].set(True)
+        to_deliver = set_at(state.to_deliver, new_to_deliver_idx, True)
         carry = (
             state.current_carry
             + ((cur < pd_split) & (cur >= a)).astype(jnp.int32)
@@ -122,8 +123,8 @@ class MDCPDP(Env):
             step_len = jnp.where(
                 (cur < a) & (state.current_node >= a), 0.0, step_len
             )
-        current_length = state.current_length.at[current_depot].add(step_len)
-        arrivetime = state.arrivetime.at[cur].set(current_length[current_depot])
+        current_length = add_at(state.current_length, current_depot, step_len)
+        arrivetime = set_at(state.arrivetime, cur, current_length[current_depot])
         done = available[a:].sum() == 0
         new = state.replace(
             current_node=cur,
@@ -163,14 +164,14 @@ class MDCPDP(Env):
         # the own depot — and never while carrying, after the last handover,
         # or right after arriving at a new depot (`mdcpdp/env.py:183-197`)
         depot_mask = mask & back_flag
-        depot_mask = depot_mask.at[state.current_depot].set(~back_flag)
+        depot_mask = set_at(depot_mask, state.current_depot, ~back_flag)
         last_depot = state.available[:a].sum() == 0
         carry_flag = state.current_carry > 0
         prev_depot = (cur < a) & (state.i > 1) & ~back_flag
         depot_mask = depot_mask & ~last_depot & ~carry_flag & ~prev_depot
         mask = jnp.where(idx < a, depot_mask, mask)
         mask = jnp.where(state.i == 0, first_mask, mask)
-        pad = jnp.zeros_like(mask).at[state.current_depot].set(True)
+        pad = set_at(jnp.zeros_like(mask), state.current_depot, True)
         return jnp.where(state.done, pad, mask)
 
     def reward(self, state: MDCPDPState, actions: jax.Array) -> jax.Array:

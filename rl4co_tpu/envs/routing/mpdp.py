@@ -35,6 +35,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import add_at, set_at
 
 
 @struct.dataclass
@@ -97,12 +98,12 @@ class MPDP(Env):
 
         # unlock the paired delivery (`env.py:70-72`)
         new_to_deliver = (action + n // 2) % (n + a + 1)
-        to_deliver = state.to_deliver.at[new_to_deliver].set(True)
-        visited = state.visited.at[action].set(True)
+        to_deliver = set_at(state.to_deliver, new_to_deliver, True)
+        visited = set_at(state.visited, action, True)
 
         new_coord = state.locs[action]
         leg = jnp.linalg.norm(new_coord - state.cur_coord)
-        lengths = state.lengths.at[jnp.clip(state.count_depot, 0, a - 1)].add(leg)
+        lengths = add_at(state.lengths, jnp.clip(state.count_depot, 0, a - 1), leg)
 
         # selecting the current agent's depot copy spawns the next agent
         at_own_depot = (action == agent_idx) & (agent_idx < a)
@@ -136,8 +137,9 @@ class MPDP(Env):
         pending = (state.to_deliver & ~state.visited & deliv).any()
         can_handover = ~pending & (agent_idx < a)
         # the last agent must finish all remaining customers (`env.py:253-258`)
-        feasible = feasible.at[jnp.clip(agent_idx, 0, a)].set(
-            jnp.where(can_handover, True, feasible[jnp.clip(agent_idx, 0, a)])
+        feasible = set_at(
+            feasible, jnp.clip(agent_idx, 0, a),
+            jnp.where(can_handover, True, feasible[jnp.clip(agent_idx, 0, a)]),
         )
         pad = jnp.zeros_like(feasible).at[0].set(True)  # absorbing after done
         return jnp.where(state.done, pad, feasible)
@@ -145,9 +147,11 @@ class MPDP(Env):
     def reward(self, state: MPDPState, actions: jax.Array) -> jax.Array:
         # add the final agent's return-to-depot leg
         final_leg = jnp.linalg.norm(state.cur_coord - state.locs[0])
-        lengths = state.lengths.at[
-            jnp.clip(state.count_depot, 0, self.num_agents - 1)
-        ].add(final_leg)
+        lengths = add_at(
+            state.lengths,
+            jnp.clip(state.count_depot, 0, self.num_agents - 1),
+            final_leg,
+        )
         if self.objective == "minmax":
             return -lengths.max()
         return -lengths.sum()

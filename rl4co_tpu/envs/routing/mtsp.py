@@ -16,7 +16,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import get_tour_length, set_at
 
 
 @struct.dataclass
@@ -75,7 +75,7 @@ class MTSP(Env):
         prev_loc = state.locs[state.current_node]
         depot_loc = state.locs[0]
         cur_agent_idx = state.agent_idx + (action == 0).astype(jnp.int32)
-        available = state.available.at[action].set(False)
+        available = set_at(state.available, action, False)
         done = (~available[1:]).all()
         current_length = state.current_length + jnp.linalg.norm(cur_loc - prev_loc)
         current_length = jnp.where(
@@ -173,7 +173,7 @@ class SHPP(Env):
 
     def step(self, state: SHPPState, action: jax.Array) -> SHPPState:
         action = action.astype(jnp.int32)
-        available = state.available.at[action].set(False)
+        available = set_at(state.available, action, False)
         new = state.replace(
             current_node=action,
             available=available,
@@ -192,7 +192,7 @@ class SHPP(Env):
         mask = mask.at[-1].set(state.available[-1] & ~others_left)
         first_only = jnp.zeros_like(mask).at[0].set(True)
         mask = jnp.where(state.i == 0, first_only, mask)
-        pad = jnp.zeros_like(mask).at[state.current_node].set(True)
+        pad = set_at(jnp.zeros_like(mask), state.current_node, True)
         return jnp.where(state.done, pad, mask)
 
     def reward(self, state: SHPPState, actions: jax.Array) -> jax.Array:

@@ -26,6 +26,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import set_at
 
 INF = 1e18  # finite stand-in for inf (avoids inf*0 NaNs in masks)
 
@@ -173,7 +174,7 @@ class MTVRP(Env):
             n_opts = len(probs) + 1  # + plain CVRP
             logits = jnp.log(jnp.array(list(probs.values()) + [0.5]))
             idx = jax.random.categorical(key, logits)
-            keep6 = jnp.zeros((n_opts,), dtype=bool).at[idx].set(True)
+            keep6 = set_at(jnp.zeros((n_opts,), dtype=bool), idx, True)
             keep = keep6[:4]
             if self.variant_preset == "single_feat_otw":
                 keep = keep.at[0].set(keep[0] | keep6[4])
@@ -240,7 +241,7 @@ class MTVRP(Env):
         used_back = not_depot * (
             state.used_capacity_backhaul + state.demand_backhaul[action]
         )
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         new = state.replace(
             current_node=action,
             current_time=current_time,

@@ -20,7 +20,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import get_tour_length, set_at
 
 MAX_LENGTHS = {20: 2.0, 50: 3.0, 100: 4.0}
 
@@ -103,7 +103,7 @@ class OP(Env):
         prev = state.locs[state.current_node]
         cur = state.locs[action]
         tour_length = state.tour_length + jnp.linalg.norm(cur - prev)
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         done = (action == 0) & (state.i > 0)
         new = OPState(
             locs=state.locs,

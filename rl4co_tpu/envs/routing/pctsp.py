@@ -21,7 +21,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import get_tour_length, set_at
 
 # Kool et al. (2019) penalty scaling (reference `pctsp/generator.py:12,84-100`)
 MAX_LENGTHS = {20: 2.0, 50: 3.0, 100: 4.0}
@@ -102,7 +102,7 @@ class PCTSP(Env):
         action = action.astype(jnp.int32)
         cur_total_prize = state.cur_total_prize + state.real_prize[action]
         cur_total_penalty = state.cur_total_penalty + state.penalty[action]
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         done = (state.i > 0) & (action == 0)
         new = state.replace(
             cur_total_prize=cur_total_prize,

@@ -18,7 +18,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import get_tour_length, set_at
 
 
 @struct.dataclass
@@ -69,8 +69,8 @@ class PDP(Env):
         n = self.num_loc
         action = action.astype(jnp.int32)
         new_to_deliver = (action + n // 2) % (n + 1)
-        available = state.available.at[action].set(False)
-        to_deliver = state.to_deliver.at[new_to_deliver].set(True)
+        available = set_at(state.available, action, False)
+        to_deliver = set_at(state.to_deliver, new_to_deliver, True)
         new = state.replace(
             current_node=action,
             available=available,
@@ -84,7 +84,7 @@ class PDP(Env):
 
     def action_mask(self, state: PDPState) -> jax.Array:
         mask = state.available & state.to_deliver
-        pad = jnp.zeros_like(mask).at[state.current_node].set(True)
+        pad = set_at(jnp.zeros_like(mask), state.current_node, True)
         return jnp.where(state.done, pad, mask)
 
     def reward(self, state: PDPState, actions: jax.Array) -> jax.Array:

@@ -22,6 +22,7 @@ from flax import struct
 
 from rl4co_tpu.envs.base import Instance
 from rl4co_tpu.envs.routing.tsp_kopt import compute_visited_time, linked_list_cost
+from rl4co_tpu.utils.ops import inverse_permutation, scatter_permutation, set_at
 
 
 @struct.dataclass
@@ -41,25 +42,25 @@ def ruin_repair_move(rec: jax.Array, pair_index, first, second) -> jax.Array:
     gs = rec.shape[0]
     half = gs // 2
     # remove pickup
-    argsort = jnp.zeros_like(rec).at[rec].set(jnp.arange(gs, dtype=rec.dtype))
+    argsort = inverse_permutation(rec)
     pre_p = argsort[pair_index]
     post_p = rec[pair_index]
-    rec = rec.at[pre_p].set(post_p)
-    rec = rec.at[pair_index].set(pair_index)
+    rec = set_at(rec, pre_p, post_p)
+    rec = set_at(rec, pair_index, pair_index)
     # remove delivery
-    argsort = jnp.zeros_like(rec).at[rec].set(jnp.arange(gs, dtype=rec.dtype))
+    argsort = inverse_permutation(rec)
     d = pair_index + half
     pre_d = argsort[d]
     post_d = rec[d]
-    rec = rec.at[pre_d].set(post_d)
+    rec = set_at(rec, pre_d, post_d)
     # reinsert delivery after `second`
     post_second = rec[second]
-    rec = rec.at[second].set(d)
-    rec = rec.at[d].set(post_second)
+    rec = set_at(rec, second, d)
+    rec = set_at(rec, d, post_second)
     # reinsert pickup after `first`
     post_first = rec[first]
-    rec = rec.at[first].set(pair_index)
-    rec = rec.at[pair_index].set(post_first)
+    rec = set_at(rec, first, pair_index)
+    rec = set_at(rec, pair_index, post_first)
     return rec
 
 
@@ -73,10 +74,9 @@ def reinsertion_mask(visited_time: jax.Array, selected_node: jax.Array) -> jax.A
     order = vt[:, None] > vt[None, :]
     mask = order
     d = selected_node + half
-    mask = mask.at[selected_node, :].set(True)
-    mask = mask.at[d, :].set(True)
-    mask = mask.at[:, selected_node].set(True)
-    mask = mask.at[:, d].set(True)
+    rows = jnp.arange(gs)
+    row_hit = (rows == selected_node) | (rows == d)
+    mask = mask | row_hit[:, None] | row_hit[None, :]
     return ~mask
 
 
@@ -114,7 +114,7 @@ class PDPRuinRepair:
         seq = jnp.stack([perm, perm + half], axis=-1).reshape(-1)  # p1 d1 p2 d2 ...
         order = jnp.concatenate([jnp.zeros((1,), seq.dtype), seq])
         nxt = jnp.roll(order, -1)
-        rec = jnp.zeros((gs,), jnp.int32).at[order].set(nxt.astype(jnp.int32))
+        rec = scatter_permutation(order, nxt.astype(jnp.int32))
         cost = linked_list_cost(locs, rec)
         return PDPRRState(
             locs=locs,
@@ -143,7 +143,7 @@ class PDPRuinRepair:
         record = jnp.concatenate(
             [state.action_record[1:], jnp.zeros_like(state.action_record[:1])], axis=0
         )
-        record = record.at[-1, action[0]].set(1.0)
+        record = record.at[-1].set(set_at(record[-1], action[0], 1.0))
         next_state = state.replace(
             rec_current=next_rec,
             rec_best=rec_best,

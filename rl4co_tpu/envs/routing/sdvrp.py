@@ -18,7 +18,7 @@ from flax import struct
 
 from rl4co_tpu.envs.base import Instance
 from rl4co_tpu.envs.routing.cvrp import CVRP
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import add_at, get_tour_length
 
 
 @struct.dataclass
@@ -54,7 +54,7 @@ class SDVRP(CVRP):
         selected = state.demand_with_depot[action]
         delivered = jnp.minimum(selected, self.vehicle_capacity - state.used_capacity)
         used = jnp.where(is_depot, 0.0, state.used_capacity + delivered)
-        demand_wd = state.demand_with_depot.at[action].add(-delivered)
+        demand_wd = add_at(state.demand_with_depot, action, -delivered)
         done = ~(demand_wd > 0).any()
         new = state.replace(
             demand_with_depot=demand_wd,

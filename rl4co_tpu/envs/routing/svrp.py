@@ -17,6 +17,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import set_at
 
 
 @struct.dataclass
@@ -74,7 +75,7 @@ class SVRP(Env):
     def step(self, state: SVRPState, action: jax.Array) -> SVRPState:
         action = action.astype(jnp.int32)
         current_tech = state.current_tech + (action == 0)
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         new = state.replace(
             current_node=action,
             current_tech=jnp.clip(current_tech, 0, self.num_tech - 1 + 1),

@@ -20,7 +20,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import get_tour_length, set_at
 
 
 @struct.dataclass
@@ -66,7 +66,7 @@ class TSP(Env):
     def step(self, state: TSPState, action: jax.Array) -> TSPState:
         action = action.astype(jnp.int32)
         first_node = jnp.where(state.i == 0, action, state.first_node)
-        visited = state.visited.at[action].set(True)
+        visited = set_at(state.visited, action, True)
         done = visited.all()
         # Absorbing after done: keep state frozen so extra padded scan steps
         # are no-ops (never triggered for TSP with trip count == num_loc).
@@ -86,7 +86,7 @@ class TSP(Env):
     def action_mask(self, state: TSPState) -> jax.Array:
         # After done, allow only current node (absorbing padding action).
         mask = ~state.visited
-        pad = jnp.zeros_like(mask).at[state.current_node].set(True)
+        pad = set_at(jnp.zeros_like(mask), state.current_node, True)
         return jnp.where(state.done, pad, mask)
 
     def reward(self, state: TSPState, actions: jax.Array) -> jax.Array:

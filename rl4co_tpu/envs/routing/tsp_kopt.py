@@ -20,6 +20,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Instance
+from rl4co_tpu.utils.ops import inverse_permutation, mark_vector_set, scatter_permutation, set_at
 
 
 @struct.dataclass
@@ -46,7 +47,7 @@ def compute_visited_time(rec: jax.Array) -> jax.Array:
     def body(i, carry):
         vt, pre = carry
         cur = rec[pre]
-        vt = vt.at[cur].set(i + 1)
+        vt = set_at(vt, cur, i + 1)
         return vt, cur
 
     vt, _ = jax.lax.fori_loop(0, n, body, (jnp.zeros((n,), jnp.int32), jnp.int32(0)))
@@ -57,7 +58,7 @@ def random_linked_tour(key: jax.Array, n: int) -> jax.Array:
     """Random tour as a linked list (reference `tsp/generator.py:61-75`)."""
     perm = jax.random.permutation(key, n)
     nxt = jnp.roll(perm, -1)
-    return jnp.zeros((n,), jnp.int32).at[perm].set(nxt.astype(jnp.int32))
+    return scatter_permutation(perm, nxt.astype(jnp.int32))
 
 
 def two_opt_move(rec: jax.Array, first: jax.Array, second: jax.Array) -> jax.Array:
@@ -65,20 +66,20 @@ def two_opt_move(rec: jax.Array, first: jax.Array, second: jax.Array) -> jax.Arr
     remove edges (pre(first)→first) and (second→post(second)), reconnect
     pre(first)→second and first→post(second), reversing the segment."""
     n = rec.shape[0]
-    argsort = jnp.zeros_like(rec).at[rec].set(jnp.arange(n, dtype=rec.dtype))  # pre-node
+    argsort = inverse_permutation(rec)  # pre-node
     new_rec = rec
     pre_first = argsort[first]
     pre_first = jnp.where(pre_first != second, pre_first, first)
-    new_rec = new_rec.at[pre_first].set(second)
+    new_rec = set_at(new_rec, pre_first, second)
     post_second = rec[second]
     post_second = jnp.where(post_second != first, post_second, second)
-    new_rec = new_rec.at[first].set(post_second)
+    new_rec = set_at(new_rec, first, post_second)
 
     def body(i, carry):
         nr, cur = carry
         cur_next = rec[cur]
         val = jnp.where(cur != second, cur, nr[cur_next])
-        nr = nr.at[cur_next].set(val)
+        nr = set_at(nr, cur_next, val)
         cur = jnp.where(cur != second, cur_next, cur)
         return nr, cur
 
@@ -94,8 +95,8 @@ def k_opt_move(rec: jax.Array, action: jax.Array, k_max: int) -> jax.Array:
     left = action[k_max : 2 * k_max]
     right = action[2 * k_max :]
     right_nodes = rec[selected]
-    argsort = jnp.zeros_like(rec).at[rec].set(jnp.arange(n, dtype=rec.dtype))
-    new_rec = rec.at[left].set(right)
+    argsort = inverse_permutation(rec)
+    new_rec = mark_vector_set(rec, left, right)
 
     def body(i, carry):
         nr, cur = carry
@@ -103,7 +104,7 @@ def k_opt_move(rec: jax.Array, action: jax.Array, k_max: int) -> jax.Array:
         pre_next_wrt_old = argsort[next_cur]
         reverse = (cur != pre_next_wrt_old) & ~(next_cur == right_nodes).any()
         next_next = nr[next_cur]
-        nr = nr.at[next_cur].set(jnp.where(reverse, pre_next_wrt_old, next_next))
+        nr = set_at(nr, next_cur, jnp.where(reverse, pre_next_wrt_old, next_next))
         return nr, next_cur
 
     new_rec, _ = jax.lax.fori_loop(0, n - 2, body, (new_rec, left[0]))

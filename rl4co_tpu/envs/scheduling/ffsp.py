@@ -21,6 +21,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import add_at, set_at, set_at2
 
 
 @struct.dataclass
@@ -130,11 +131,11 @@ class FFSP(Env):
 
     def step(self, state: FFSPState, action: jax.Array) -> FFSPState:
         action = action.astype(jnp.int32)
-        job_location = state.job_location.at[action].add(1)
-        schedule = state.schedule.at[state.machine_idx, action].set(state.time_idx)
+        job_location = add_at(state.job_location, action, 1)
+        schedule = set_at2(state.schedule, state.machine_idx, action, state.time_idx)
         dur = state.job_duration[action, state.machine_idx]
-        machine_wait = state.machine_wait_step.at[state.machine_idx].set(dur)
-        job_wait = state.job_wait_step.at[action].set(dur)
+        machine_wait = set_at(state.machine_wait_step, state.machine_idx, dur)
+        job_wait = set_at(state.job_wait_step, action, dur)
         done = (job_location[: self.num_job] == self.num_stage).all()
         new = state.replace(
             job_location=job_location,

@@ -22,6 +22,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import mark_where_in, set_at
 
 INIT_FINISH = 9999.0
 
@@ -180,14 +181,15 @@ class FJSP(Env):
         op = state.next_op[job]
         proc = state.proc_times[machine, op]
         finish = state.time + proc
+        op_col = jnp.arange(state.proc_times.shape[1]) == op
         return state.replace(
-            job_in_process=state.job_in_process.at[job].set(True),
-            op_scheduled=state.op_scheduled.at[op].set(True),
-            start_times=state.start_times.at[op].set(state.time),
-            finish_times=state.finish_times.at[op].set(finish),
-            ma_of_op=state.ma_of_op.at[op].set(machine),
-            busy_until=state.busy_until.at[machine].set(finish),
-            proc_times=state.proc_times.at[:, op].set(0.0),
+            job_in_process=set_at(state.job_in_process, job, True),
+            op_scheduled=set_at(state.op_scheduled, op, True),
+            start_times=set_at(state.start_times, op, state.time),
+            finish_times=set_at(state.finish_times, op, finish),
+            ma_of_op=set_at(state.ma_of_op, op, machine),
+            busy_until=set_at(state.busy_until, machine, finish),
+            proc_times=jnp.where(op_col[None, :], 0.0, state.proc_times),
             ops_seq_order=jnp.maximum(
                 state.ops_seq_order - state.job_ops_adj[job].astype(jnp.int32), 0
             ),
@@ -222,7 +224,7 @@ class FJSP(Env):
         # predecessor finish time (op-1 within the same job, else 0);
         # "first op of job" from the static structure (reference builds the
         # pred adjacency once at reset, `fjsp/env.py:120-133`)
-        is_first = jnp.zeros((o,), bool).at[state.start_op].set(True)
+        is_first = mark_where_in(jnp.zeros((o,), bool), state.start_op, True)
         prev_finish = jnp.concatenate([jnp.zeros((1,)), state.finish_times[:-1]])
         maybe_start = jnp.where(~is_first, prev_finish, 0.0)
         wait = jnp.clip(state.busy_until[:, None] - maybe_start[None, :], 0.0)
@@ -243,7 +245,7 @@ class FJSP(Env):
 
     def op_is_ready(self, state: FJSPState) -> jax.Array:
         o = self.n_ops_max
-        is_first = jnp.zeros((o,), bool).at[state.start_op].set(True)
+        is_first = mark_where_in(jnp.zeros((o,), bool), state.start_op, True)
         prev_finish = jnp.concatenate([jnp.zeros((1,)), state.finish_times[:-1]])
         pred_done = jnp.where(~is_first, prev_finish, 0.0) <= state.time
         return pred_done & ~state.op_scheduled
@@ -311,14 +313,15 @@ class JSSP(FJSP):
         machine = jnp.argmax(state.orig_proc_times[:, op] > 0)
         proc = state.proc_times[machine, op]
         finish = state.time + proc
+        op_col = jnp.arange(state.proc_times.shape[1]) == op
         return state.replace(
-            job_in_process=state.job_in_process.at[job].set(True),
-            op_scheduled=state.op_scheduled.at[op].set(True),
-            start_times=state.start_times.at[op].set(state.time),
-            finish_times=state.finish_times.at[op].set(finish),
-            ma_of_op=state.ma_of_op.at[op].set(machine.astype(jnp.int32)),
-            busy_until=state.busy_until.at[machine].set(finish),
-            proc_times=state.proc_times.at[:, op].set(0.0),
+            job_in_process=set_at(state.job_in_process, job, True),
+            op_scheduled=set_at(state.op_scheduled, op, True),
+            start_times=set_at(state.start_times, op, state.time),
+            finish_times=set_at(state.finish_times, op, finish),
+            ma_of_op=set_at(state.ma_of_op, op, machine.astype(jnp.int32)),
+            busy_until=set_at(state.busy_until, machine, finish),
+            proc_times=jnp.where(op_col[None, :], 0.0, state.proc_times),
             ops_seq_order=jnp.maximum(
                 state.ops_seq_order - state.job_ops_adj[job].astype(jnp.int32), 0
             ),
@@ -351,11 +354,10 @@ class JSSP(FJSP):
             jax.random.split(km, j)
         )  # [J, M] machine of each op position
         ops_machine = perms.reshape(-1)  # [O]
-        proc_times = (
-            jnp.zeros((m, o))
-            .at[ops_machine, jnp.arange(o)]
-            .set(times.reshape(-1))
-        )
+        # column j has exactly one machine -> one-hot matmul-free build
+        proc_times = jax.nn.one_hot(
+            ops_machine, m, axis=0, dtype=times.dtype
+        ) * times.reshape(-1)[None, :]
         end_op = (jnp.arange(j) + 1) * m - 1
         start_op = jnp.arange(j) * m
         return {

@@ -16,6 +16,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
+from rl4co_tpu.utils.ops import set_at
 
 
 @struct.dataclass
@@ -78,7 +79,7 @@ class SMTWTP(Env):
 
     def step(self, state: SMTWTPState, action: jax.Array) -> SMTWTPState:
         action = action.astype(jnp.int32)
-        available = state.available.at[action].set(False)
+        available = set_at(state.available, action, False)
         current_time = state.current_time + state.job_process_time[action]
         new = state.replace(
             current_job=action,

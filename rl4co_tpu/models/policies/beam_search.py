@@ -100,8 +100,11 @@ def beam_search_rollout(
         step_logprob = grouped_to_flat(chosen_lp)
         step_logprob = jnp.where(state.done, 0.0, step_logprob)
 
-        actions_hist = actions_hist.at[:, t].set(action)
-        logprobs_hist = logprobs_hist.at[:, t].set(step_logprob)
+        # column-select write (scatter-free: the TPU backend miscompiles
+        # batched dynamic-index scatters in scan at large batch)
+        col = jnp.arange(t_steps)[None, :] == t
+        actions_hist = jnp.where(col, action[:, None], actions_hist)
+        logprobs_hist = jnp.where(col, step_logprob[:, None], logprobs_hist)
         state = env.step_batch(state, action)
         return (state, top_lp, actions_hist, logprobs_hist), None
 

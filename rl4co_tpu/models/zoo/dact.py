@@ -184,9 +184,10 @@ def dact_act(
     b, n, _ = logits.shape
     mask = ~jnp.eye(n, dtype=bool)[None].repeat(b, axis=0)
     if prev_action is not None:
-        bidx = jnp.arange(b)
-        mask = mask.at[bidx, prev_action[:, 0], prev_action[:, 1]].set(False)
-        mask = mask.at[bidx, prev_action[:, 1], prev_action[:, 0]].set(False)
+        oh0 = jax.nn.one_hot(prev_action[:, 0], n, dtype=bool)
+        oh1 = jax.nn.one_hot(prev_action[:, 1], n, dtype=bool)
+        pair = (oh0[:, :, None] & oh1[:, None, :]) | (oh1[:, :, None] & oh0[:, None, :])
+        mask = mask & ~pair
     flat_logits = logits.reshape(b, n * n).astype(jnp.float32)
     flat_mask = mask.reshape(b, n * n)
     logprobs = process_logits(

@@ -86,10 +86,17 @@ def ant_system_step(
     to_node = actions_g[..., 1:]
 
     def deposit(fb, tb, rb):
-        z = jnp.zeros_like(log_heuristic[0])
+        # scatter-add as a one-hot matmul (MXU; avoids the batched-scatter
+        # path this image's TPU backend miscompiles at batch >= ~1024)
+        n = log_heuristic.shape[-1]
+        f = fb.reshape(-1)
+        t = tb.reshape(-1)
         w = jnp.broadcast_to(rb[:, None], fb.shape).reshape(-1)
-        z = z.at[fb.reshape(-1), tb.reshape(-1)].add(w)
-        return z.at[0, 0].set(0.0)  # ignore trailing zero-padding arcs
+        f_oh = jax.nn.one_hot(f, n, dtype=w.dtype) * w[:, None]   # [E, N]
+        t_oh = jax.nn.one_hot(t, n, dtype=w.dtype)                # [E, N]
+        z = f_oh.T @ t_oh                                          # [N, N]
+        keep = ~((jnp.arange(n) == 0)[:, None] & (jnp.arange(n) == 0)[None, :])
+        return jnp.where(keep, z, 0.0)  # ignore trailing zero-padding arcs
 
     delta = jax.vmap(deposit)(from_node, to_node, mapped)
     pheromone = carry.pheromone * decay + delta

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from rl4co_tpu.decoding import DecodeSpec
 from rl4co_tpu.envs.routing.mtsp import SHPP
 from rl4co_tpu.models.policies.constructive import rollout
-from rl4co_tpu.utils.ops import get_tour_length
+from rl4co_tpu.utils.ops import get_tour_length, set_at
 
 
 def random_insertion(locs: jax.Array, key: jax.Array) -> jax.Array:
@@ -38,7 +38,7 @@ def random_insertion(locs: jax.Array, key: jax.Array) -> jax.Array:
     # tour as linked list: nxt[i] = successor of node i; start with 2-cycle
     nxt = jnp.full((n,), -1, jnp.int32)
     a, b = order[0], order[1]
-    nxt = nxt.at[a].set(b).at[b].set(a)
+    nxt = set_at(set_at(nxt, a, b), b, a)
 
     def insert(carry, c):
         nxt = carry
@@ -55,7 +55,7 @@ def random_insertion(locs: jax.Array, key: jax.Array) -> jax.Array:
         costs = jax.vmap(cost_after)(jnp.arange(n))
         costs = jnp.where(nxt >= 0, costs, jnp.inf)
         best = jnp.argmin(costs)
-        nxt = nxt.at[c].set(nxt[best]).at[best].set(c)
+        nxt = set_at(set_at(nxt, c, nxt[best]), best, c)
         return nxt, None
 
     nxt, _ = jax.lax.scan(insert, nxt, order[2:])
@@ -63,7 +63,7 @@ def random_insertion(locs: jax.Array, key: jax.Array) -> jax.Array:
     # walk the linked list into visiting order
     def walk(i, carry):
         tour, cur = carry
-        tour = tour.at[i].set(cur)
+        tour = set_at(tour, i, cur)
         return tour, nxt[cur]
 
     tour, _ = jax.lax.fori_loop(

@@ -25,6 +25,7 @@ from rl4co_tpu.decoding import DecodeSpec, decode_action, process_logits_spec
 from rl4co_tpu.models.nn.ops import MLP, Normalization
 from rl4co_tpu.models.policies.constructive import RolloutOutput
 from rl4co_tpu.rl.reinforce import TrainState
+from rl4co_tpu.utils.ops import mark_where_in
 
 
 class HetGNNLayer(nn.Module):
@@ -76,7 +77,7 @@ class L2DPolicy(nn.Module):
             [jnp.zeros((b, 1)), state.finish_times[:, :-1]], axis=1
         )
         is_first = jax.vmap(
-            lambda so: jnp.zeros((o,), bool).at[so].set(True)
+            lambda so: mark_where_in(jnp.zeros((o,), bool), so, True)
         )(state.start_op)
         is_ready = (
             (jnp.where(~is_first, prev_finish, 0.0) <= state.time[:, None])
@@ -247,7 +248,7 @@ class L2DAttnPolicy(nn.Module):
             [jnp.zeros((proc.shape[0], 1)), state.finish_times[:, :-1]], axis=1
         )
         is_first = jax.vmap(
-            lambda so: jnp.zeros((proc.shape[-1],), bool).at[so].set(True)
+            lambda so: mark_where_in(jnp.zeros((proc.shape[-1],), bool), so, True)
         )(state.start_op)
         is_ready = (
             (jnp.where(~is_first, prev_finish, 0.0) <= state.time[:, None])

@@ -36,7 +36,7 @@ class NodePairRemovalDecoder(nn.Module):
         hd = d // hn
         solution = state.rec_current
         pre = jax.vmap(
-            lambda r: jnp.zeros_like(r).at[r].set(jnp.arange(gs, dtype=r.dtype))
+            lambda r: jnp.argsort(r).astype(r.dtype)
         )(solution)
         post = jnp.take_along_axis(solution, solution, axis=1)
 
@@ -165,7 +165,7 @@ def n2s_act(
     removal_logits = policy.apply(params, h, state, method="removal_logits")
     mask1 = jnp.ones((b, half), bool)
     if prev_action is not None:
-        mask1 = mask1.at[jnp.arange(b), prev_action[:, 0]].set(False)
+        mask1 = mask1 & ~jax.nn.one_hot(prev_action[:, 0], half, dtype=bool)
     lp1 = process_logits(
         removal_logits.astype(jnp.float32), mask1,
         temperature=spec.temperature, tanh_clipping=spec.tanh_clipping,

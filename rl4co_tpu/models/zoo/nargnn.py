@@ -42,11 +42,11 @@ class EdgeHeatmapGenerator(nn.Module):
             nn.Dense(1, use_bias=self.use_bias, name="output")(w)[..., 0]
         )  # [B, N, K]
         b, n, k = p.shape
-        row_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
-
         def scatter_one(pb, ib):
-            z = jnp.full((n, n), 1e-12, dtype=pb.dtype)
-            return z.at[row_idx, ib].set(pb + 1e-12)
+            # per-row k-NN scatter as one-hot weighted sum (scatter-free)
+            oh = jax.nn.one_hot(ib, n, dtype=pb.dtype)      # [N, K, N]
+            z = (oh * pb[..., None]).sum(axis=1)            # [N, N]
+            return jnp.maximum(z, 0.0) + 1e-12
 
         heat = jax.vmap(scatter_one)(p, nbr_idx)
         return jnp.log(heat)

@@ -128,7 +128,7 @@ def neuopt_act(
             params, h, q1, q2, input_q1, input_q2, method="decode"
         )
         if i == 0 and prev_action is not None:
-            mask = mask.at[bidx, prev_action[:, 0]].set(True)
+            mask = mask | jax.nn.one_hot(prev_action[:, 0], gs, dtype=bool)
         feasible = ~mask
         logprobs = process_logits(
             logits.astype(jnp.float32), feasible,
@@ -172,10 +172,12 @@ def neuopt_act(
         mask = visited_time_tag <= visited_time_tag[bidx, a][:, None]
         if i == 0:
             mask = mask | (visited_time_tag > (gs - 2))
-        mask = mask.at[bidx, a].set(jnp.where(stopped, False, mask[bidx, a]))
+        # clear position a for stopped rows (scatter-free)
+        mask = mask & ~(jax.nn.one_hot(a, gs, dtype=bool) & stopped[:, None])
         allow_first = (~stopped) & (next_of_new == action_index[:, 0])
-        mask = mask.at[bidx, action_index[:, 0]].set(
-            jnp.where(allow_first, False, mask[bidx, action_index[:, 0]])
+        mask = mask & ~(
+            jax.nn.one_hot(action_index[:, 0], gs, dtype=bool)
+            & allow_first[:, None]
         )
 
         next_of_last = jnp.where(stopped, -1, next_of_new)

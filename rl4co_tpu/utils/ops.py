@@ -104,3 +104,76 @@ def topk_mask(scores: jax.Array, k: int) -> jax.Array:
     """Boolean mask keeping the top-k entries along the last axis (static k)."""
     kth = jnp.sort(scores, axis=-1)[..., -k][..., None]
     return scores >= kth
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free indexed updates.
+#
+# Env `step`/`action_mask` functions are per-instance and get vmapped into
+# the decode `lax.scan`. On TPU, XLA lowers a vmapped scalar-index
+# `x.at[i].set(v)` to a batched scatter — which this image's TPU backend
+# MISCOMPILES for batch >= ~1024 (verified: repeated nodes in every tour;
+# see tests/test_envs.py::test_random_rollout validity + the one-hot repro
+# in the round-2 work log). The mask-select formulations below are also the
+# faster lowering on TPU: scatters serialize, elementwise selects ride the
+# VPU at full width.
+# ---------------------------------------------------------------------------
+
+
+def set_at(x: jax.Array, idx, value) -> jax.Array:
+    """``x.at[idx].set(value)`` for a traced scalar ``idx`` along axis 0,
+    without a scatter. ``value`` broadcasts against ``x[idx]``."""
+    n = x.shape[0]
+    hit = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) == idx
+    hit = hit.reshape((n,) + (1,) * (x.ndim - 1))
+    return jnp.where(hit, value, x)
+
+
+def add_at(x: jax.Array, idx, value) -> jax.Array:
+    """``x.at[idx].add(value)`` for a traced scalar ``idx``, scatter-free."""
+    n = x.shape[0]
+    hit = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) == idx
+    hit = hit.reshape((n,) + (1,) * (x.ndim - 1))
+    return x + jnp.where(hit, value, jnp.zeros_like(x))
+
+
+def set_at2(x: jax.Array, i, j, value) -> jax.Array:
+    """``x.at[i, j].set(value)`` for traced scalars ``i, j``, scatter-free."""
+    r = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 0) == i
+    c = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 1) == j
+    hit = (r & c).reshape(x.shape[:2] + (1,) * (x.ndim - 2))
+    return jnp.where(hit, value, x)
+
+
+def mark_where_in(x: jax.Array, idx: jax.Array, value) -> jax.Array:
+    """``x.at[idx_vector].set(value)`` for an index *vector* (duplicate
+    indices allowed; all hit positions get ``value``), scatter-free."""
+    n = x.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, idx.shape[0]), 0)
+    hit = (pos == idx[None, :]).any(axis=1)
+    hit = hit.reshape((n,) + (1,) * (x.ndim - 1))
+    return jnp.where(hit, value, x)
+
+
+def inverse_permutation(perm: jax.Array) -> jax.Array:
+    """``zeros.at[perm].set(arange(n))`` == argsort for a permutation —
+    a gather lowering instead of a scatter."""
+    return jnp.argsort(perm).astype(perm.dtype)
+
+
+def scatter_permutation(perm: jax.Array, values: jax.Array) -> jax.Array:
+    """``zeros.at[perm].set(values)`` when ``perm`` is a permutation:
+    equivalent gather ``values[argsort(perm)]``."""
+    return values[jnp.argsort(perm)]
+
+
+def mark_vector_set(x: jax.Array, idx: jax.Array, values: jax.Array) -> jax.Array:
+    """``x.at[idx].set(values)`` for a 1-D ``x`` and an index *vector*,
+    scatter-free. Duplicate indices resolve to the last slot (matching
+    XLA's effective .at[].set order for our uses)."""
+    n = x.shape[0]
+    k = idx.shape[0]
+    hit = jnp.arange(n)[:, None] == idx[None, :]            # [n, k]
+    last_slot = jnp.where(hit, jnp.arange(k)[None, :], -1).max(axis=1)
+    vals = values[jnp.clip(last_slot, 0, k - 1)]
+    return jnp.where(hit.any(axis=1), vals, x)

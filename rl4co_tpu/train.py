@@ -52,7 +52,8 @@ class WorkloadSpec:
 
 def build(spec: WorkloadSpec, mesh=None, logger=None):
     """Build (algorithm, trainer) from a workload spec."""
-    env = spec.env()
+    # am-multienv takes a comma env list and builds its own env dict
+    env = spec.env() if "," not in spec.env_name else None
     pkw = dict(spec.policy_kwargs)
     compute_dtype = "bfloat16" if spec.precision == "bf16-mixed" else None
     train_spec = DecodeSpec(
@@ -82,7 +83,7 @@ def build(spec: WorkloadSpec, mesh=None, logger=None):
 MODEL_NAMES = (
     "am", "am-xl", "pomo", "symnco", "ppo", "a2c", "polynet", "deepaco",
     "gfacs", "mdam", "ptrnet", "ham", "matnet", "mvmoe", "mvmoe-pomo",
-    "l2d", "l2d-attn", "l2d-ppo", "dact", "n2s", "neuopt",
+    "l2d", "l2d-attn", "l2d-ppo", "dact", "n2s", "neuopt", "am-multienv",
 )
 
 
@@ -185,6 +186,15 @@ def _build_model(spec: WorkloadSpec, env, pkw: dict, train_spec):
 
         policy = L2DPolicy(**{"with_critic": True, **pkw})
         return StepwisePPO(env=env, policy=policy, lr=lr)
+    if name == "am-multienv":
+        # mixed-env training: one shared-trunk policy over several envs
+        # (BASELINE.json OP+PCTSP config); --env takes a comma list
+        from rl4co_tpu.envs import get_env
+        from rl4co_tpu.rl.multi_env import MultiEnvREINFORCE
+
+        env_names = tuple(spec.env_name.split(","))
+        envs = {n: get_env(n, **dict(spec.env_kwargs)) for n in env_names}
+        return MultiEnvREINFORCE(envs=envs, train_spec=train_spec, lr=lr)
     if name in ("dact", "n2s", "neuopt"):
         # improvement trio on their own MDPs via n-step PPO + CL
         kw = dict(lr_policy=lr, policy_kwargs=pkw)

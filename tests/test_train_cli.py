@@ -64,6 +64,8 @@ SMOKE_OVERRIDES = {
                               ("num_encoder_layers", 1))},
     "neuopt": {"policy_kwargs": (("embed_dim", 16), ("num_heads", 2),
                                  ("num_encoder_layers", 1))},
+    # covered in depth by tests/test_multi_env.py (needs a comma env list)
+    "am-multienv": None,
 }
 
 
@@ -71,7 +73,9 @@ def test_every_model_name_has_a_smoke_override():
     assert set(SMOKE_OVERRIDES) == set(MODEL_NAMES)
 
 
-@pytest.mark.parametrize("model", sorted(SMOKE_OVERRIDES))
+@pytest.mark.parametrize(
+    "model", sorted(m for m, ov in SMOKE_OVERRIDES.items() if ov is not None)
+)
 def test_build_and_train_one_epoch(model):
     spec = tiny_spec(model, **SMOKE_OVERRIDES[model])
     algo, trainer = build(spec, logger=lambda m: None)

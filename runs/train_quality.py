@@ -80,6 +80,12 @@ PRESETS = {
                         weight_decay=1e-6, milestones=(480, 495),
                         val_batch_size=1024,
                         eval_methods=("greedy", "augment_dihedral_8")),
+    # BASELINE.json mixed-env config: one policy across OP + PCTSP with
+    # swapped embeddings, interleaved batches
+    "mixed_op_pctsp": dict(env="op,pctsp", num_loc=20, model="am-multienv",
+                           batch_size=512, train_data_size=640_000, epochs=100,
+                           lr=1e-4, val_batch_size=512,
+                           eval_methods=("greedy",)),
 }
 
 
@@ -88,7 +94,8 @@ def build_preset(p: dict, precision: str = "bf16-mixed"):
     from rl4co_tpu.envs import get_env
     from rl4co_tpu.utils.optim import get_lr_schedule
 
-    env = get_env(p["env"], num_loc=p["num_loc"])
+    env = (get_env(p["env"], num_loc=p["num_loc"])
+           if "," not in p["env"] else None)
     compute_dtype = "bfloat16" if precision == "bf16-mixed" else None
     train_spec = DecodeSpec(kind="sampling", tanh_clipping=10.0,
                             compute_dtype=compute_dtype)
@@ -117,6 +124,13 @@ def build_preset(p: dict, precision: str = "bf16-mixed"):
         policy = make_pomo_policy(env.name)
         algo = POMO(env=env, policy=policy, train_spec=train_spec, lr=p["lr"],
                     optimizer=opt_name, lr_schedule=schedule)
+    elif p["model"] == "am-multienv":
+        from rl4co_tpu.rl.multi_env import MultiEnvREINFORCE
+
+        envs = {n: get_env(n, num_loc=p["num_loc"])
+                for n in p["env"].split(",")}
+        algo = MultiEnvREINFORCE(envs=envs, train_spec=train_spec, lr=p["lr"])
+        env = algo.env
     else:
         raise ValueError(p["model"])
     return env, algo

@@ -53,3 +53,30 @@ def load_solomon_instance(path: str, normalize_demand: bool = True) -> dict:
         "durations": durations.astype(np.float32),
         "capacity": np.float32(capacity),
     }
+
+
+def solomon_to_env_batch(instance: dict, scale: bool = True):
+    """Solomon instance dict -> (CVRPTW env, batched instance pytree of 1).
+
+    Coordinates and times are scaled by the instance horizon (depot due
+    date) to match the env's normalized convention (`cvrptw.py::generate`
+    with ``scale=True``); demands are already capacity-normalized by the
+    loader.
+    """
+    import jax.numpy as jnp
+
+    from rl4co_tpu.envs.routing.cvrptw import CVRPTW
+
+    horizon = float(instance["time_windows"][0, 1])
+    n = instance["locs"].shape[0]
+    env = CVRPTW(num_loc=n, vehicle_capacity=1.0, max_time=horizon,
+                 scale=scale)
+    s = horizon if scale else 1.0
+    batch = {
+        "locs": jnp.asarray(instance["locs"])[None] / s,
+        "depot": jnp.asarray(instance["depot"])[None] / s,
+        "demand": jnp.asarray(instance["demand"])[None],
+        "durations": jnp.asarray(instance["durations"])[None] / s,
+        "time_windows": jnp.asarray(instance["time_windows"])[None] / s,
+    }
+    return env, batch

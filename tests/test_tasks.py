@@ -154,3 +154,20 @@ CUST NO.  XCOORD.   YCOORD.   DEMAND    READY TIME  DUE DATE   SERVICE TIME
     assert abs(inst["demand"][0] - 10 / 200) < 1e-6
     assert inst["time_windows"].shape == (3, 2)
     assert inst["capacity"] == 200.0
+
+    # loader -> env integration: greedy rollout on the loaded instance
+    from rl4co_tpu.data.solomon import solomon_to_env_batch
+    from rl4co_tpu.decoding import DecodeSpec
+    from rl4co_tpu.models.policies.constructive import rollout as do_rollout
+
+    env2, batch = solomon_to_env_batch(inst)
+    policy2 = AttentionModelPolicy(env_name="cvrptw", embed_dim=16,
+                                   num_encoder_layers=1, feedforward_hidden=32,
+                                   num_heads=2)
+    params2 = init_policy_params(policy2, env2, jax.random.PRNGKey(0))
+    out = do_rollout(policy2, params2, env2, batch, jax.random.PRNGKey(1),
+                     DecodeSpec(kind="greedy", tanh_clipping=10.0))
+    assert np.isfinite(np.asarray(out.reward)).all()
+    one = jax.tree_util.tree_map(lambda x: np.asarray(x)[0],
+                                 jax.device_get(batch))
+    env2.check_solution_validity(one, np.asarray(out.actions)[0])

@@ -172,7 +172,9 @@ class PointerAttention(nn.Module):
             else None
         )
 
-        if self.impl == "pallas" and query.ndim == 2:
+        if self.impl == "pallas":
+            # single-query ([B, D]) and grouped-multistart ([B, L, D]) decode
+            # both route through the fused kernel
             from rl4co_tpu.ops.pointer_kernel import (
                 fused_pointer_logits,
                 mask_to_neg_bias,

@@ -1,21 +1,38 @@
 """Fused Pallas TPU kernel for the AM pointer decode step.
 
 The autoregressive decode step is the framework's hot kernel (SURVEY.md §7
-step 4): per step, each instance computes a single-query masked multi-head
-glimpse over cached K/V, an output projection, and logit-key scores. In XLA
-this is ~a dozen small ops per step (layout changes, masked softmax, two
-batched GEMVs, one GEMM); the Pallas kernel fuses the whole step into one
-pass over the K/V/logit-K cache — one HBM read of each cache tensor and a
-single kernel launch per decode step.
+step 4): per step, each instance computes a masked multi-head glimpse over
+cached K/V, an output projection, and logit-key scores (reference
+`rl4co/models/nn/attention.py:218-320` + the flash-attention plug-in slot
+`rl4co/models/nn/flash_attention.py:1-62`). In XLA this is ~a dozen small
+ops per step; the kernel fuses the whole step into one pass over the
+K/V/logit-K caches — one HBM read of each cache tensor and a single kernel
+launch per decode step.
 
-Forward = Pallas; backward = `jax.vjp` of the identical jnp reference
-implementation (recompute — the decode step is cheap relative to its
-memory traffic, classic rematerialization trade).
+Design notes (why this shape of kernel — Mosaic/TPU constraints):
 
-Status: numerics + gradients validated against the XLA reference (interpret
-mode, `tests/test_pointer_kernel.py`). On this image's tunneled TPU backend
-the Mosaic compile stalls, so `AttentionModelPolicy(pointer_impl="pallas")`
-remains opt-in; the default decode path is XLA.
+- **No lane slicing, no per-head loop.** D (=128) is the lane dimension of
+  every operand. Splitting heads by slicing 16-lane chunks out of it (the
+  round-1 kernel) forces Mosaic into pathological relayouts and the compile
+  stalls. Instead heads are separated *through the MXU* with a constant 0/1
+  head-indicator matrix ``hsel [H, D]``: masking the query per head and
+  stacking heads along the **sublane** axis turns the per-head score
+  computation into one ``[L·H, D] @ [D, N]`` matmul (garbage cross-head
+  terms are zeroed by the same indicator on the value side). The extra
+  H× MXU work is free — the step is HBM-bandwidth-bound.
+- **Grouped multistart is the product path.** Queries arrive as ``[B, L, D]``
+  (L = POMO starts sharing one instance's K/V cache); L becomes the matmul M
+  dimension. Single-query decode (sampling/greedy, L=1) is the degenerate
+  case of the same kernel.
+- **Grid = (B, L-blocks); full N per program.** Each program streams one
+  instance's caches through VMEM (3·N·D·4B ≈ 1.5 MB at N=1000 — fits the
+  ~16 MB VMEM with double buffering). N is padded to the 128-lane tile with
+  MASK_VALUE bias. Instances at N > ``_MAX_FUSED_N`` fall back to the XLA
+  path (AR decode at that scale is GLOP/NAR territory, SURVEY.md §5).
+
+Forward = Pallas; backward = ``jax.vjp`` of the identical jnp reference
+implementation (recompute — the decode step is cheap relative to its memory
+traffic, classic rematerialization trade).
 """
 
 from __future__ import annotations
@@ -24,213 +41,158 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e9
 
+# beyond this many nodes the fused kernel's per-program VMEM footprint gets
+# uncomfortable; XLA's batched einsum path takes over
+_MAX_FUSED_N = 2048
+
 
 def _reference_impl(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping):
     """Pure-jnp reference (matches `rl4co_tpu.models.nn.attention.pointer_logits`
-    + tanh clipping + masking, single query)."""
+    + additive mask bias, grouped queries). q: [B, L, D] (or [B, D]);
+    neg_bias: [B, L, N] (or [B, N])."""
+    if q.ndim == 2:
+        return _reference_impl(q[:, None, :], k, v, lk, neg_bias[:, None, :],
+                               w_out, num_heads, tanh_clipping)[:, 0, :]
     b, n, d = k.shape
     hd = d // num_heads
 
     def split(x):
         return x.reshape(b, -1, num_heads, hd).swapaxes(1, 2)
 
-    qh = split(q[:, None, :])  # [B, H, 1, hd]
+    qh = split(q)  # [B, H, L, hd]
     kh, vh = split(k), split(v)
-    scores = jnp.einsum("bhld,bhnd->bhln", qh, kh) / jnp.sqrt(jnp.asarray(hd, q.dtype))
-    scores = scores + neg_bias[:, None, None, :].astype(scores.dtype)
+    scores = jnp.einsum("bhld,bhnd->bhln", qh, kh) / jnp.sqrt(
+        jnp.asarray(hd, jnp.float32)
+    )
+    scores = scores + neg_bias[:, None, :, :].astype(scores.dtype)
     attn = jax.nn.softmax(scores, axis=-1)
     heads = jnp.einsum("bhln,bhnd->bhld", attn, vh)
-    glimpse = heads.swapaxes(1, 2).reshape(b, d) @ w_out
-    logits = jnp.einsum("bd,bnd->bn", glimpse, lk) / jnp.sqrt(jnp.asarray(d, q.dtype))
-    return logits  # masking/clipping applied downstream by process_logits
-
-
-def _kernel(q_ref, k_ref, v_ref, lk_ref, bias_ref, wout_ref, out_ref,
-            *, num_heads: int, tanh_clipping: float):
-    q = q_ref[:].astype(jnp.float32)          # [BB, D]
-    bias = bias_ref[:].astype(jnp.float32)    # [BB, N]
-    bb, d = q.shape
-    n = bias.shape[-1]
-    hd = d // num_heads
-
-    # per-head masked softmax glimpse (VPU: elementwise + lane reductions)
-    glimpse_parts = []
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        kh = k_ref[:, :, sl].astype(jnp.float32)      # [BB, N, hd]
-        qh = q[:, sl]                                  # [BB, hd]
-        s = (kh * qh[:, None, :]).sum(axis=-1)         # [BB, N]
-        s = s * (1.0 / (hd ** 0.5)) + bias
-        s = s - s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        attn = e / e.sum(axis=-1, keepdims=True)       # [BB, N]
-        vh = v_ref[:, :, sl].astype(jnp.float32)
-        glimpse_parts.append((attn[:, :, None] * vh).sum(axis=1))  # [BB, hd]
-    glimpse = jnp.concatenate(glimpse_parts, axis=-1)  # [BB, D]
-
-    # output projection (MXU)
-    w = wout_ref[:].astype(jnp.float32)
-    proj = jnp.dot(glimpse, w, preferred_element_type=jnp.float32)  # [BB, D]
-
-    # logit-key scores
-    lk = lk_ref[:].astype(jnp.float32)                 # [BB, N, D]
-    logits = (lk * proj[:, None, :]).sum(axis=-1) * (1.0 / (d ** 0.5))
-    out_ref[:] = logits
-
-
-def _full_n_forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping,
-                    block_b: int = 256):
-    """Variant A: whole-N caches in VMEM, grid over batch blocks only.
-    VMEM per step ~= 3 * block_b * N * D * 4B — small-N decode (N ≲ 200)."""
-    b, n, d = k.shape
-    block_b = min(block_b, b)
-    grid = (pl.cdiv(b, block_b),)
-    kernel = functools.partial(
-        _kernel, num_heads=num_heads, tanh_clipping=tanh_clipping
+    glimpse = heads.swapaxes(1, 2).reshape(b, -1, d) @ w_out
+    logits = jnp.einsum("bld,bnd->bln", glimpse, lk) / jnp.sqrt(
+        jnp.asarray(d, jnp.float32)
     )
-    interpret = jax.default_backend() == "cpu"  # CPU tests run interpreted
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_b, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d * 2 + 2 * b * d * d,
-            bytes_accessed=3 * b * n * d * k.dtype.itemsize,
-            transcendentals=b * n,
-        ),
-        interpret=interpret,
-    )(q, k, v, lk, neg_bias, w_out)
+    return logits  # output masking/clipping applied downstream (process_logits)
 
 
-def _glimpse_kernel(q_ref, k_ref, v_ref, bias_ref, wout_ref, out_ref,
-                    m_scr, l_scr, acc_scr, *, num_heads: int):
-    """Variant B inner: online-softmax glimpse accumulation over N blocks.
+def _kernel(q_ref, k_ref, v_ref, lk_ref, bias_ref, wout_ref, hsel_ref, out_ref,
+            *, num_heads: int):
+    f32 = jnp.float32
+    q = q_ref[0].astype(f32)          # [BL, D]
+    k = k_ref[0].astype(f32)          # [N, D]
+    v = v_ref[0].astype(f32)
+    lk = lk_ref[0].astype(f32)
+    bias = bias_ref[0].astype(f32)    # [BL, N]
+    hsel = hsel_ref[:].astype(f32)    # [H, D] 0/1 head-indicator
+    bl, d = q.shape
+    n = k.shape[0]
+    h = num_heads
+    hd = d // h
 
-    Grid is (B_blocks, N_blocks) with N innermost; VMEM scratch (running
-    per-head max `m`, denominator `l`, weighted-V accumulator `acc`) carries
-    across the N sweep — K/V stream through VMEM in O(block_n) pieces, so
-    memory is O(N) in HBM and O(1) in VMEM (SURVEY.md §7: masked pointer
-    attention at N≥500 without materializing O(N²))."""
-    j = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32)            # [bb, D]
-    bias = bias_ref[:].astype(jnp.float32)      # [bb, bn]
-    bb, d = q.shape
-    hd = d // num_heads
+    # per-head scores via head-masked queries stacked along sublanes:
+    # qm[l·H+h', :] = q[l] ⊙ hsel[h']  →  s[l·H+h', n] = q_h'(l)·k_h'(n)
+    qm = (q[:, None, :] * hsel[None, :, :]).reshape(bl * h, d)
+    s = jax.lax.dot_general(
+        qm, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * (1.0 / (hd ** 0.5))                                   # [BL·H, N]
+    s = s + jnp.broadcast_to(bias[:, None, :], (bl, h, n)).reshape(bl * h, n)
 
-    @pl.when(j == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr[:], -1e30)
-        l_scr[:] = jnp.zeros_like(l_scr[:])
-        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+    # masked softmax over N (rows are (l, head) pairs)
+    s = s - s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / e.sum(axis=-1, keepdims=True)
 
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        kh = k_ref[:, :, sl].astype(jnp.float32)        # [bb, bn, hd]
-        qh = q[:, sl]
-        s = (kh * qh[:, None, :]).sum(axis=-1) * (1.0 / (hd ** 0.5)) + bias
-        m_old = m_scr[:, h]                              # [bb]
-        m_new = jnp.maximum(m_old, s.max(axis=-1))
-        scale = jnp.exp(m_old - m_new)                   # [bb]
-        e = jnp.exp(s - m_new[:, None])                  # [bb, bn]
-        vh = v_ref[:, :, sl].astype(jnp.float32)
-        acc_scr[:, sl] = acc_scr[:, sl] * scale[:, None] + (
-            e[:, :, None] * vh
-        ).sum(axis=1)
-        l_scr[:, h] = l_scr[:, h] * scale + e.sum(axis=-1)
-        m_scr[:, h] = m_new
+    # weighted values: z[l·H+h', d] = Σ_n p·v — only head h's lane range is
+    # meaningful per row; the head indicator zeroes the cross terms below
+    z = jnp.dot(p, v, preferred_element_type=f32)             # [BL·H, D]
+    glimpse = (z.reshape(bl, h, d) * hsel[None, :, :]).sum(axis=1)  # [BL, D]
 
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _():
-        glimpse = acc_scr[:] / jnp.repeat(l_scr[:], hd, axis=1)  # [bb, D]
-        w = wout_ref[:].astype(jnp.float32)
-        out_ref[:] = jnp.dot(glimpse, w, preferred_element_type=jnp.float32)
+    proj = jnp.dot(glimpse, wout_ref[:].astype(f32),
+                   preferred_element_type=f32)                # [BL, D]
+    logits = jax.lax.dot_general(
+        proj, lk, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * (1.0 / (d ** 0.5))                                    # [BL, N]
+    out_ref[0] = logits
 
 
-def _blocked_glimpse(q, k, v, neg_bias, w_out, num_heads,
-                     block_b: int = 128, block_n: int = 128):
-    """Variant B wrapper: returns the projected glimpse [B, D] (f32)."""
-    b, n, d = k.shape
-    block_b = min(block_b, b)
-    # pad N to a block multiple; padded columns get MASK_VALUE bias -> their
-    # exp() underflows against any real max, contributing nothing
-    n_pad = (-n) % block_n
+def _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping,
+                    block_l: int = 32, interpret: bool | None = None):
+    """q: [B, L, D]; k/v/lk: [B, N, D]; neg_bias: [B, L, N] → [B, L, N] f32."""
+    b, l, d = q.shape
+    n = k.shape[1]
+
+    # pad N to the 128-lane tile; padded columns get MASK_VALUE bias so their
+    # softmax weight underflows, and their logits are sliced away below
+    n_pad = (-n) % 128
     if n_pad:
         pad3 = ((0, 0), (0, n_pad), (0, 0))
-        k = jnp.pad(k, pad3)
-        v = jnp.pad(v, pad3)
-        neg_bias = jnp.pad(neg_bias, ((0, 0), (0, n_pad)),
+        k, v, lk = jnp.pad(k, pad3), jnp.pad(v, pad3), jnp.pad(lk, pad3)
+        neg_bias = jnp.pad(neg_bias, ((0, 0), (0, 0), (0, n_pad)),
                            constant_values=MASK_VALUE)
-    n_full = n + n_pad
-    grid = (pl.cdiv(b, block_b), n_full // block_n)
-    kernel = functools.partial(_glimpse_kernel, num_heads=num_heads)
-    interpret = jax.default_backend() == "cpu"
-    return pl.pallas_call(
-        kernel,
+    block_l = min(block_l, l)
+    l_pad = (-l) % block_l
+    if l_pad:
+        q = jnp.pad(q, ((0, 0), (0, l_pad), (0, 0)))
+        neg_bias = jnp.pad(neg_bias, ((0, 0), (0, l_pad), (0, 0)))
+    nf, lf = n + n_pad, l + l_pad
+
+    hd = d // num_heads
+    hsel = jnp.asarray(
+        np.repeat(np.eye(num_heads, dtype=np.float32), hd, axis=1)
+    )  # [H, D]
+
+    grid = (b, lf // block_l)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # CPU tests run interpreted
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, block_n, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_l, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, block_n, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nf, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, block_n), lambda i, j: (i, j),
+            pl.BlockSpec((1, nf, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nf, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, nf), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, d), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((1, block_l, nf), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((block_b, num_heads), jnp.float32),  # running max
-            pltpu.VMEM((block_b, num_heads), jnp.float32),  # denominator
-            pltpu.VMEM((block_b, d), jnp.float32),          # weighted V acc
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, lf, nf), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_full * d * 2 + 2 * b * d * d,
-            bytes_accessed=2 * b * n_full * d * k.dtype.itemsize,
-            transcendentals=b * n_full * 2,
+            # dominant term: the two [L·H, D]·[D, N] passes + logits
+            flops=2 * b * lf * num_heads * nf * d * 2 + 2 * b * lf * nf * d,
+            bytes_accessed=3 * b * nf * d * k.dtype.itemsize
+            + 2 * b * lf * nf * 4,
+            transcendentals=b * lf * num_heads * nf,
         ),
         interpret=interpret,
-    )(q, k, v, neg_bias, w_out)
+    )(q, k, v, lk, neg_bias, w_out, hsel)
+    return out[:, :l, :n]
 
 
-# VMEM budget for picking the variant: variant A holds 3 f32 copies of the
-# [block_b, N, D] caches (+ in/out pipelining headroom).
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
-_MIN_BLOCK_B = 8
-
-
-def _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping):
-    b, n, d = k.shape
-    bytes_per_row = 3 * n * d * 4  # K/V/logit-K f32 rows in VMEM
-    fit = _VMEM_BUDGET_BYTES // max(1, bytes_per_row)
-    block_b = max(_MIN_BLOCK_B, min(256, (fit // 8) * 8))
-    # variant A needs enough batch rows per step to stay efficient; below
-    # that, stream K/V in N blocks instead (variant B)
-    if fit >= 32 or b <= _MIN_BLOCK_B:
-        return _full_n_forward(q, k, v, lk, neg_bias, w_out, num_heads,
-                               tanh_clipping, block_b=block_b)
-    # large N: stream K/V through VMEM; the lk·proj scores stay in XLA
-    # (one read of lk either way — same HBM traffic as full fusion)
-    proj = _blocked_glimpse(q, k, v, neg_bias, w_out, num_heads)
-    logits = jnp.einsum(
-        "bd,bnd->bn", proj, lk.astype(jnp.float32)
-    ) * (1.0 / (d ** 0.5))
-    return logits
+def _forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping):
+    single = q.ndim == 2
+    if single:
+        q, neg_bias = q[:, None, :], neg_bias[:, None, :]
+    if k.shape[1] > _MAX_FUSED_N:
+        out = _reference_impl(q, k, v, lk, neg_bias, w_out, num_heads,
+                              tanh_clipping)
+    else:
+        out = _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads,
+                              tanh_clipping)
+    return out[:, 0, :] if single else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -238,31 +200,41 @@ def fused_pointer_logits(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping)
     """Fused decode-step logits.
 
     Args:
-        q: [B, D] context query (already projected + graph context added).
+        q: [B, D] single query or [B, L, D] grouped multistart queries
+            (already context-projected, graph context added).
         k, v, lk: [B, N, D] glimpse key/value and logit key caches.
-        neg_bias: [B, N] additive mask bias (0 feasible / -1e9 infeasible).
+        neg_bias: [B, N] / [B, L, N] additive mask bias
+            (0 feasible / -1e9 infeasible).
         w_out: [D, D] pointer output projection (no bias, as reference).
-    Returns: [B, N] float32 raw logits (the inner glimpse is masked via
-    ``neg_bias``; output masking + tanh clipping stay in `process_logits`).
+    Returns: [B, N] / [B, L, N] float32 raw logits (the inner glimpse is
+    masked via ``neg_bias``; output masking + tanh clipping stay in
+    `process_logits`).
     """
-    return _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping)
+    return _forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping)
 
 
 def _fwd(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping):
-    out = _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping)
+    out = _forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping)
     return out, (q, k, v, lk, neg_bias, w_out)
 
 
 def _bwd(num_heads, tanh_clipping, res, g):
     q, k, v, lk, neg_bias, w_out = res
+    single = q.ndim == 2
+    q3 = q[:, None, :] if single else q
+    nb3 = neg_bias[:, None, :] if single else neg_bias
+    g3 = g[:, None, :] if single else g
     _, vjp = jax.vjp(
         lambda q_, k_, v_, lk_, w_: _reference_impl(
-            q_, k_, v_, lk_, neg_bias, w_, num_heads, tanh_clipping
+            q_, k_, v_, lk_, nb3, w_, num_heads, tanh_clipping
         ),
-        q, k, v, lk, w_out,
+        q3, k, v, lk, w_out,
     )
-    dq, dk, dv, dlk, dw = vjp(g)
-    return dq, dk, dv, dlk, None, dw
+    dq, dk, dv, dlk, dw = vjp(g3.astype(jnp.float32))
+    if single:
+        dq = dq[:, 0, :]
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dlk.astype(lk.dtype), None, dw.astype(w_out.dtype))
 
 
 fused_pointer_logits.defvjp(_fwd, _bwd)

@@ -46,6 +46,11 @@ class TrainerConfig:
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 1                # save `last` every N epochs
     monitor: str = "reward"            # metric of the primary val set, maximized
+    # Wall-time budget: stop cleanly after the first epoch that ends beyond
+    # this many hours (checkpointing `last` so `fit(resume_from=...)` picks
+    # up the identical schedule). For preempted/time-sliced accelerator
+    # quotas — the reference has no equivalent (Lightning `max_time` analog).
+    max_hours: Optional[float] = None
 
 
 class Trainer:
@@ -137,6 +142,7 @@ class Trainer:
         steps_per_epoch = max(1, cfg.train_data_size // cfg.batch_size)
 
         profiling = False
+        fit_t0 = time.perf_counter()
         for epoch in range(start_epoch, cfg.epochs):
             kepoch = jax.random.fold_in(krun, epoch)
             t0 = time.perf_counter()
@@ -186,18 +192,29 @@ class Trainer:
 
             state, host = self.algo.epoch_end(state, host)
 
+            out_of_time = (
+                cfg.max_hours is not None
+                and time.perf_counter() - fit_t0 > cfg.max_hours * 3600
+            )
+
             if cfg.ckpt_dir:
                 from rl4co_tpu.checkpoint import save_checkpoint
 
                 tree = _ckpt_tree(state, epoch + 1, max(best_monitor,
                                   monitor_val if monitor_val is not None else -np.inf),
                                   host)
-                if (epoch + 1) % cfg.ckpt_every == 0 or epoch + 1 == cfg.epochs:
+                if ((epoch + 1) % cfg.ckpt_every == 0 or epoch + 1 == cfg.epochs
+                        or out_of_time):
                     save_checkpoint(f"{cfg.ckpt_dir}/last", tree)
                 if monitor_val is not None and monitor_val > best_monitor:
                     best_monitor = monitor_val
                     save_checkpoint(f"{cfg.ckpt_dir}/best", tree)
                     self.logger({"epoch": epoch, "ckpt/best_monitor": best_monitor})
+
+            if out_of_time:
+                self.logger({"epoch": epoch, "stopped": "max_hours",
+                             "max_hours": cfg.max_hours})
+                break
 
         return state
 

@@ -29,11 +29,15 @@ import jax
 import numpy as np
 
 
-def bench_rollout(env, policy, params, batch, iters, key):
+def bench_rollout(env, policy, params, batch, iters, key, num_starts=0):
     from rl4co_tpu.decoding import DecodeSpec
     from rl4co_tpu.models import rollout
 
-    spec = DecodeSpec(kind="greedy", tanh_clipping=10.0)
+    if num_starts:
+        spec = DecodeSpec(kind="greedy", multistart=True,
+                          num_starts=num_starts, tanh_clipping=10.0)
+    else:
+        spec = DecodeSpec(kind="greedy", tanh_clipping=10.0)
 
     @jax.jit
     def fwd(params, instances, k):
@@ -63,28 +67,33 @@ def main():
 
     results = {}
     key = jax.random.PRNGKey(0)
-    for n in args.sizes:
+    # (label, num_loc, batch, num_starts): greedy single-start at each N, plus
+    # the grouped-multistart product shape (bench.py's headline protocol)
+    cases = [(f"tsp{n}_greedy", n, args.batch, 0) for n in args.sizes]
+    cases.append(("tsp100_multistart100", 100, 256, 100))
+    for label, n, batch, starts in cases:
         env = get_env("tsp", num_loc=n)
         row = {}
         for impl in ("xla", "pallas"):
             policy = AttentionModelPolicy(env_name="tsp", pointer_impl=impl)
             params = init_policy_params(policy, env, key)
             try:
-                dt, r = bench_rollout(env, policy, params, args.batch,
-                                      args.iters, jax.random.fold_in(key, n))
+                dt, r = bench_rollout(env, policy, params, batch,
+                                      args.iters, jax.random.fold_in(key, n),
+                                      num_starts=starts)
                 row[impl] = {
                     "s_per_rollout": round(dt, 4),
-                    "env_steps_per_s": round(args.batch * n / dt, 1),
+                    "env_steps_per_s": round(batch * max(1, starts) * n / dt, 1),
                     "mean_reward": round(r, 3),
                 }
             except Exception as e:  # record the failure mode, keep going
                 row[impl] = {"error": f"{type(e).__name__}: {e}"[:300]}
-            print(json.dumps({"n": n, "impl": impl, **row[impl]}), flush=True)
+            print(json.dumps({"case": label, "impl": impl, **row[impl]}), flush=True)
         if "error" not in row.get("xla", {}) and "error" not in row.get("pallas", {}):
             row["pallas_speedup"] = round(
                 row["xla"]["s_per_rollout"] / row["pallas"]["s_per_rollout"], 3
             )
-        results[str(n)] = row
+        results[label] = row
 
     out = {"batch": args.batch, "iters": args.iters,
            "device": str(jax.devices()[0]), "results": results}

@@ -146,6 +146,9 @@ def main(argv=None):
                     choices=["bf16-mixed", "f32"])
     ap.add_argument("--resume", action="store_true",
                     help="resume from runs/ckpt_<preset>/last")
+    ap.add_argument("--max-hours", type=float, default=None,
+                    help="wall-time budget: stop after the first epoch that "
+                         "ends past this, checkpoint, and run the final eval")
     ap.add_argument("--tag", default="", help="suffix for output files")
     args = ap.parse_args(argv)
 
@@ -171,6 +174,7 @@ def main(argv=None):
         seed=1234,                      # reference seed (base.yaml:48)
         log_every=200,
         ckpt_dir=ckpt_dir,
+        max_hours=args.max_hours,
     )
     log_path = os.path.join(RUNS, f"{name}.jsonl")
     logger = MultiLogger(
@@ -205,10 +209,14 @@ def main(argv=None):
         table[method] = row
         print(json.dumps({"eval": method, **{k: round(v, 4) if _isnum(v) else v
                                              for k, v in row.items()}}), flush=True)
+    epochs_done = 1 + max(
+        (int(r["epoch"]) for r in trainer.history if "epoch" in r), default=-1
+    )
     out = {
         "preset": args.preset,
         "recipe": {k: v for k, v in p.items() if _isnum(v) or isinstance(v, (str, tuple))},
         "precision": args.precision,
+        "epochs_trained": epochs_done,
         "train_hours": round(train_h, 3),
         "device": str(jax.devices()[0]),
         "eval": table,

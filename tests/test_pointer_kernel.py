@@ -76,10 +76,10 @@ def test_policy_pallas_impl_matches_xla():
     )
 
 
-def test_blocked_glimpse_matches_reference_large_n():
-    """Variant B (N-blocked online softmax) at N=500 vs the jnp reference —
-    K/V stream through VMEM, so large N can't blow the VMEM budget
-    (VERDICT r1 #2 / SURVEY §7 O(N)-memory decode)."""
+def test_kernel_large_n_ragged_padding():
+    """N=500 (pads to 512): padded columns must contribute nothing and the
+    kernel must match the reference (VERDICT r1 #2 / SURVEY §7 large-N
+    decode; K/V stream per-instance through VMEM)."""
     b, n, d, h = 4, 500, 64, 4
     ks = jax.random.split(jax.random.PRNGKey(2), 6)
     q = jax.random.normal(ks[0], (b, d))
@@ -95,28 +95,35 @@ def test_blocked_glimpse_matches_reference_large_n():
                                rtol=3e-4, atol=3e-5)
 
 
-def test_blocked_glimpse_ragged_n_padding():
-    """N not a multiple of the block: padded columns must contribute nothing."""
-    from rl4co_tpu.ops.pointer_kernel import _blocked_glimpse
-
-    b, n, d, h = 3, 200, 32, 2  # pads 200 -> 256
-    ks = jax.random.split(jax.random.PRNGKey(3), 5)
-    q = jax.random.normal(ks[0], (b, d))
+def test_kernel_grouped_multistart_queries():
+    """Grouped queries [B, L, D] sharing one instance's K/V (the POMO
+    multistart product path) with per-start masks and ragged L (pads to the
+    L block)."""
+    b, l, n, d, h = 3, 5, 20, 32, 4
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    q = jax.random.normal(ks[0], (b, l, d))
     k = jax.random.normal(ks[1], (b, n, d))
     v = jax.random.normal(ks[2], (b, n, d))
-    w = jax.random.normal(ks[3], (d, d)) / d**0.5
-    mask = jax.random.bernoulli(ks[4], 0.5, (b, n)).at[:, 0].set(True)
+    lk = jax.random.normal(ks[3], (b, n, d))
+    w = jax.random.normal(ks[4], (d, d)) / d**0.5
+    mask = jax.random.bernoulli(ks[5], 0.6, (b, l, n))
+    mask = mask.at[:, :, 0].set(True)
     bias = mask_to_neg_bias(mask)
-    proj = _blocked_glimpse(q, k, v, bias, w, h)
-
-    # reference glimpse (no logit-key stage)
-    hd = d // h
-    def split(x):
-        return x.reshape(b, -1, h, hd).swapaxes(1, 2)
-    qh, kh, vh = split(q[:, None, :]), split(k), split(v)
-    s = jnp.einsum("bhld,bhnd->bhln", qh, kh) / hd**0.5 + bias[:, None, None, :]
-    attn = jax.nn.softmax(s, axis=-1)
-    ref = (jnp.einsum("bhln,bhnd->bhld", attn, vh)
-           .swapaxes(1, 2).reshape(b, d) @ w)
-    np.testing.assert_allclose(np.asarray(proj), np.asarray(ref),
+    out = fused_pointer_logits(q, k, v, lk, bias, w, h, 0.0)
+    assert out.shape == (b, l, n)
+    ref = _reference_impl(q, k, v, lk, bias, w, h, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-4, atol=3e-5)
+
+    # gradients through the grouped path
+    def f(q, k, v, lk, w):
+        return fused_pointer_logits(q, k, v, lk, bias, w, h, 0.0).sum()
+
+    def f_ref(q, k, v, lk, w):
+        return _reference_impl(q, k, v, lk, bias, w, h, 0.0).sum()
+
+    grads = jax.grad(f, argnums=(0, 1, 2, 3, 4))(q, k, v, lk, w)
+    grads_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, lk, w)
+    for g, gr in zip(grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5)

@@ -33,6 +33,15 @@ Design notes (why this shape of kernel — Mosaic/TPU constraints):
 Forward = Pallas; backward = ``jax.vjp`` of the identical jnp reference
 implementation (recompute — the decode step is cheap relative to its memory
 traffic, classic rematerialization trade).
+
+Status (measured on-chip, see ``runs/pointer_kernel_bench.json``): compiles
+and matches XLA numerics at N ∈ {100, 500, 1000} and on the grouped
+multistart shape, but XLA's fused batched einsums are *faster* at every
+product shape (kernel 0.4–0.9×) — the per-instance grid is
+dispatch-overhead-bound at these small per-step working sets. The default
+decode path therefore stays ``pointer_impl="xla"`` on measurement, not on a
+compile failure; the kernel remains the opt-in escape hatch for shapes XLA
+schedules badly.
 """
 
 from __future__ import annotations

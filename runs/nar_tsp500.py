@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""NAR long-horizon evidence: DeepACO on TSP-500 (BASELINE.json NAR config).
+
+The reference handles 500+-node instances with NAR heatmap methods, not AR
+decode (SURVEY.md §5 long-context levers: k-NN-sparsified heatmaps +
+DeepACO's ant system, `rl4co/models/zoo/deepaco/*`). This run trains the
+NARGNN heatmap encoder on TSP-500 with static top-k edges
+(k = max(n/5, 10) = 100, `rl4co_tpu/models/nn/env_embeddings/edge.py`),
+then evaluates the full Ant System (pheromone loop under `lax.scan`,
+optional native C++ 2-opt local search inside the jitted loop) against the
+untrained encoder and the Concorde anchor (~16.55 mean optimal tour on
+uniform [0,1]^2 at N=500, Fu et al. 2021 Table 2).
+
+Usage (TPU):  python runs/nar_tsp500.py [--steps 150] [--max-hours 0.3]
+Writes runs/nar_tsp500.json + runs/nar_tsp500.jsonl (training curve).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+import jax
+import numpy as np
+
+OPT_ANCHOR_TSP500 = 16.55  # Concorde mean on uniform [0,1]^2, N=500
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-loc", type=int, default=500)
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--n-ants", type=int, default=20)
+    ap.add_argument("--eval-size", type=int, default=128)
+    ap.add_argument("--eval-batch", type=int, default=32)
+    ap.add_argument("--max-hours", type=float, default=0.35)
+    ap.add_argument("--local-search", action="store_true", default=True)
+    args = ap.parse_args()
+
+    from rl4co_tpu.envs import get_env
+    from rl4co_tpu.models.zoo.deepaco import DeepACO, run_ant_system
+
+    env = get_env("tsp", num_loc=args.num_loc)
+    algo = DeepACO(env=env, n_ants_train=args.n_ants,
+                   n_ants_eval=args.n_ants, n_iterations_eval=10,
+                   use_local_search=args.local_search)
+    key = jax.random.PRNGKey(1234)
+    state = algo.init(key)
+    # untrained snapshot for the ablation row (host copy — the jitted train
+    # step donates its input state, which would invalidate these buffers)
+    params0 = jax.device_get(state.params)
+    train_step = algo.make_train_step(args.batch)
+
+    log_path = os.path.join(ROOT, "runs", "nar_tsp500.jsonl")
+    logf = open(log_path, "w")
+    t0 = time.time()
+    steps_done = 0
+    for it in range(args.steps):
+        state, metrics = train_step(state, jax.random.fold_in(key, it))
+        steps_done = it + 1
+        if it % 10 == 0 or it == args.steps - 1:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            rec = {"step": it, "wall_s": round(time.time() - t0, 1),
+                   **{k: round(v, 4) for k, v in m.items()}}
+            logf.write(json.dumps(rec) + "\n")
+            logf.flush()
+            print(json.dumps(rec), flush=True)
+        if time.time() - t0 > args.max_hours * 3600:
+            print(f"stopping at step {steps_done} (max_hours)", flush=True)
+            break
+    train_h = (time.time() - t0) / 3600
+    logf.close()
+
+    # ---- eval: full ant system, trained vs untrained heatmap ----
+    ls_fn = algo._local_search_fn()
+
+    @jax.jit
+    def aco_eval(params, instances, k):
+        heat = algo.encoder.apply(params, instances)
+        acts, best_reward, _ = run_ant_system(
+            env, instances, heat, k, n_ants=algo.n_ants_eval,
+            n_iterations=algo.n_iterations_eval, local_search_fn=ls_fn)
+        return acts, best_reward
+
+    test = env.generate_batch(jax.random.PRNGKey(4321), args.eval_size)
+    table = {}
+    for label, params in (("trained", state.params), ("untrained", params0)):
+        costs = []
+        t1 = time.perf_counter()
+        for i in range(0, args.eval_size, args.eval_batch):
+            chunk = jax.tree.map(lambda x: x[i:i + args.eval_batch], test)
+            acts, rew = aco_eval(params, chunk, jax.random.fold_in(key, 999 + i))
+            # validity: best-ant tours must be permutations (host-side, like
+            # tasks/eval.py check_solutions=True)
+            acts_h = np.asarray(acts)
+            for j in range(acts_h.shape[0]):
+                one = jax.tree.map(lambda x: x[j], chunk)
+                env.check_solution_validity(one, acts_h[j])
+            costs.append(-np.asarray(rew))
+        dt = time.perf_counter() - t1
+        cost = float(np.concatenate(costs).mean())
+        table[label] = {
+            "mean_cost": round(cost, 4),
+            "gap_pct_vs_concorde": round(100 * (cost - OPT_ANCHOR_TSP500)
+                                         / OPT_ANCHOR_TSP500, 2),
+            "validity_checked": True,
+            "eval_s": round(dt, 1),
+        }
+        print(json.dumps({label: table[label]}), flush=True)
+
+    out = {
+        "config": vars(args),
+        "train_steps_done": steps_done,
+        "train_hours": round(train_h, 3),
+        "k_sparse_edges": max(args.num_loc // 5, 10),
+        "aco": {"n_ants": algo.n_ants_eval, "iterations": algo.n_iterations_eval,
+                "native_local_search": bool(ls_fn)},
+        "optimum_anchor": OPT_ANCHOR_TSP500,
+        "device": str(jax.devices()[0]),
+        "eval": table,
+        "cmd": "python runs/nar_tsp500.py",
+    }
+    path = os.path.join(ROOT, "runs", "nar_tsp500.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, default=str)
+    print("WROTE", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

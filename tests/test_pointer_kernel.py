@@ -127,3 +127,29 @@ def test_kernel_grouped_multistart_queries():
     for g, gr in zip(grads, grads_ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_on_tpu_parity():
+    """On-chip parity (VERDICT r1 #2 'TPU-mode parity test'): compiled Mosaic
+    kernel vs the XLA reference at the product shape. Skipped on CPU CI —
+    the interpret-mode tests above cover numerics there; this one exists so
+    `pytest tests/test_pointer_kernel.py` on a TPU host validates the real
+    compile."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("real-TPU-only test")
+    b, l, n, d, h = 32, 16, 100, 128, 8
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    q = jax.random.normal(ks[0], (b, l, d))
+    k = jax.random.normal(ks[1], (b, n, d))
+    v = jax.random.normal(ks[2], (b, n, d))
+    lk = jax.random.normal(ks[3], (b, n, d))
+    w = jax.random.normal(ks[4], (d, d)) / d**0.5
+    mask = jax.random.bernoulli(ks[5], 0.7, (b, l, n)).at[:, :, 0].set(True)
+    bias = mask_to_neg_bias(mask)
+    out = jax.jit(lambda *a: fused_pointer_logits(*a, h, 0.0))(q, k, v, lk, bias, w)
+    ref = _reference_impl(q, k, v, lk, bias, w, h, 0.0)
+    # MXU rounds inputs to bf16; compare at bf16-level tolerance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

@@ -129,6 +129,106 @@ def _kernel(q_ref, k_ref, v_ref, lk_ref, bias_ref, wout_ref, hsel_ref, out_ref,
     out_ref[0] = logits
 
 
+def _kernel_single(q_ref, k_ref, v_ref, lk_ref, bias_ref, wout_ref, hsel_ref,
+                   out_ref, *, num_heads: int):
+    """Single-query variant: block over B (full VPU width), heads separated
+    by two tiny ``hsel`` matmuls instead of lane slicing. Per program:
+    p = k ⊙ q broadcasts at full lane width; per-head scores = p @ hselᵀ
+    (MXU does the within-head reduction); attention expands back through
+    hsel before the weighted-V reduction."""
+    f32 = jnp.float32
+    q = q_ref[:].astype(f32)          # [bq, D]
+    k = k_ref[:].astype(f32)          # [bq, N, D]
+    v = v_ref[:].astype(f32)
+    lk = lk_ref[:].astype(f32)
+    bias = bias_ref[:].astype(f32)    # [bq, N]
+    hsel = hsel_ref[:].astype(f32)    # [H, D]
+    bq, n, d = k.shape
+    h = num_heads
+    hd = d // h
+
+    p = k * q[:, None, :]                                     # [bq, N, D]
+    s = jax.lax.dot_general(
+        p.reshape(bq * n, d), hsel, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(bq, n, h) * (1.0 / (hd ** 0.5))                 # [bq, N, H]
+    s = s + bias[:, :, None]
+    s = s - s.max(axis=1, keepdims=True)
+    e = jnp.exp(s)
+    a = e / e.sum(axis=1, keepdims=True)                      # [bq, N, H]
+
+    av = jax.lax.dot_general(
+        a.reshape(bq * n, h), hsel, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(bq, n, d)                                       # [bq, N, D]
+    glimpse = (av * v).sum(axis=1)                            # [bq, D]
+    proj = jnp.dot(glimpse, wout_ref[:].astype(f32),
+                   preferred_element_type=f32)                # [bq, D]
+    out_ref[:] = (lk * proj[:, None, :]).sum(axis=-1) * (1.0 / (d ** 0.5))
+
+
+def _pallas_forward_single(q, k, v, lk, neg_bias, w_out, num_heads,
+                           block_b: int = 16, interpret: bool | None = None):
+    """q: [B, D]; neg_bias: [B, N] → [B, N] f32 logits."""
+    b, d = q.shape
+    n = k.shape[1]
+    n_pad = (-n) % 128
+    if n_pad:
+        pad3 = ((0, 0), (0, n_pad), (0, 0))
+        k, v, lk = jnp.pad(k, pad3), jnp.pad(v, pad3), jnp.pad(lk, pad3)
+        neg_bias = jnp.pad(neg_bias, ((0, 0), (0, n_pad)),
+                           constant_values=MASK_VALUE)
+    nf = n + n_pad
+    # shrink the batch block until 3 in + 2 intermediate [bq, N, D] f32
+    # buffers fit comfortably in VMEM
+    while block_b > 8 and 5 * block_b * nf * d * 4 > 10 * 1024 * 1024:
+        block_b //= 2
+    block_b = min(block_b, b)
+    b_pad = (-b) % block_b
+    if b_pad:
+        q = jnp.pad(q, ((0, b_pad), (0, 0)))
+        k = jnp.pad(k, ((0, b_pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, b_pad), (0, 0), (0, 0)))
+        lk = jnp.pad(lk, ((0, b_pad), (0, 0), (0, 0)))
+        neg_bias = jnp.pad(neg_bias, ((0, b_pad), (0, 0)),
+                           constant_values=MASK_VALUE)
+    bf = b + b_pad
+
+    hd = d // num_heads
+    hsel = jnp.asarray(
+        np.repeat(np.eye(num_heads, dtype=np.float32), hd, axis=1)
+    )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        functools.partial(_kernel_single, num_heads=num_heads),
+        grid=(bf // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nf, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nf, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nf, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nf), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, nf), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bf, nf), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bf * nf * d * num_heads * 2 + 2 * bf * d * d,
+            bytes_accessed=3 * bf * nf * d * k.dtype.itemsize,
+            transcendentals=bf * nf * num_heads,
+        ),
+        interpret=interpret,
+    )(q, k, v, lk, neg_bias, w_out, hsel)
+    return out[:b, :n]
+
+
 def _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping,
                     block_l: int = 32, interpret: bool | None = None):
     """q: [B, L, D]; k/v/lk: [B, N, D]; neg_bias: [B, L, N] → [B, L, N] f32."""
@@ -193,15 +293,18 @@ def _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping,
 
 def _forward(q, k, v, lk, neg_bias, w_out, num_heads, tanh_clipping):
     single = q.ndim == 2
-    if single:
-        q, neg_bias = q[:, None, :], neg_bias[:, None, :]
     if k.shape[1] > _MAX_FUSED_N:
+        if single:
+            q, neg_bias = q[:, None, :], neg_bias[:, None, :]
         out = _reference_impl(q, k, v, lk, neg_bias, w_out, num_heads,
                               tanh_clipping)
-    else:
-        out = _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads,
-                              tanh_clipping)
-    return out[:, 0, :] if single else out
+        return out[:, 0, :] if single else out
+    if single:
+        # batched-block kernel: full VPU width over B instead of a
+        # one-instance-per-program grid
+        return _pallas_forward_single(q, k, v, lk, neg_bias, w_out, num_heads)
+    return _pallas_forward(q, k, v, lk, neg_bias, w_out, num_heads,
+                           tanh_clipping)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))

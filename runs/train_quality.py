@@ -142,6 +142,7 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--train-size", type=int, default=None)
     ap.add_argument("--eval-size", type=int, default=10_000)
+    ap.add_argument("--val-size", type=int, default=10_000)
     ap.add_argument("--precision", default="bf16-mixed",
                     choices=["bf16-mixed", "f32"])
     ap.add_argument("--resume", action="store_true",
@@ -169,7 +170,7 @@ def main(argv=None):
         epochs=p["epochs"],
         batch_size=p["batch_size"],
         train_data_size=p["train_data_size"],
-        val_data_size=10_000,
+        val_data_size=args.val_size,
         val_batch_size=p["val_batch_size"],
         seed=1234,                      # reference seed (base.yaml:48)
         log_every=200,
@@ -193,22 +194,33 @@ def main(argv=None):
     # ---- final eval: reference protocol, validity-checked ----
     # test convention: seed 1234, 10k instances (reference
     # `configs/env/tsp.yaml:8-10`, `data/generate_data.py:214+`)
-    test = env.generate_batch(jax.random.PRNGKey(1234), args.eval_size)
-    opt = OPTIMA.get(p["env"], {}).get(p["num_loc"])
+    # mixed-env presets evaluate every env through its own embedding view
+    # (policy.for_env); single-env presets evaluate the one env
+    eval_envs = (
+        {n: e for n, e in algo.envs.items()} if hasattr(algo, "envs")
+        else {p["env"]: env}
+    )
     table = {}
-    for method in p["eval_methods"]:
-        res = evaluate_policy(env, algo.policy, state.params, test,
-                              method=method, check_solutions=True)
-        cost = -res["mean_reward"]
-        row = {"mean_cost": cost, "instances_per_s": res["instances_per_s"],
-               "n_instances": int(res["rewards"].shape[0]),
-               "validity_checked": True}
-        if opt:
-            row["gap_pct"] = 100.0 * (cost - opt) / opt
-            row["optimum_anchor"] = opt
-        table[method] = row
-        print(json.dumps({"eval": method, **{k: round(v, 4) if _isnum(v) else v
-                                             for k, v in row.items()}}), flush=True)
+    for env_name, e in eval_envs.items():
+        test = e.generate_batch(jax.random.PRNGKey(1234), args.eval_size)
+        opt = OPTIMA.get(env_name, {}).get(p["num_loc"])
+        pol = (algo.policy.for_env(env_name)
+               if hasattr(algo.policy, "for_env") else algo.policy)
+        for method in p["eval_methods"]:
+            res = evaluate_policy(e, pol, state.params, test,
+                                  method=method, check_solutions=True)
+            cost = -res["mean_reward"]
+            row = {"mean_cost": cost, "instances_per_s": res["instances_per_s"],
+                   "n_instances": int(res["rewards"].shape[0]),
+                   "validity_checked": True}
+            if opt:
+                row["gap_pct"] = 100.0 * (cost - opt) / opt
+                row["optimum_anchor"] = opt
+            key_name = (f"{env_name}/{method}" if len(eval_envs) > 1 else method)
+            table[key_name] = row
+            print(json.dumps({"eval": key_name,
+                              **{k: round(v, 4) if _isnum(v) else v
+                                 for k, v in row.items()}}), flush=True)
     epochs_done = 1 + max(
         (int(r["epoch"]) for r in trainer.history if "epoch" in r), default=-1
     )

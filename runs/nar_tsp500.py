@@ -83,7 +83,15 @@ def main():
     logf.close()
 
     # ---- eval: full ant system, trained vs untrained heatmap ----
-    ls_fn = algo._local_search_fn()
+    # The axon TPU backend does not support host send/recv callbacks, so the
+    # in-loop neural local search (jax.pure_callback -> C++ 2-opt) cannot run
+    # inside jit there. Fall back to a host-side 2-opt polish of the best-ant
+    # tours after the jitted pheromone loop (weaker than in-loop NLS — no
+    # pheromone feedback — but the same native kernel).
+    callbacks_ok = (jax.devices()[0].platform not in ("axon",)
+                    and not os.environ.get("NAR_FORCE_HOST_LS"))
+    ls_fn = algo._local_search_fn() if callbacks_ok else None
+    host_ls = args.local_search and not callbacks_ok
 
     @jax.jit
     def aco_eval(params, instances, k):
@@ -101,9 +109,18 @@ def main():
         for i in range(0, args.eval_size, args.eval_batch):
             chunk = jax.tree.map(lambda x: x[i:i + args.eval_batch], test)
             acts, rew = aco_eval(params, chunk, jax.random.fold_in(key, 999 + i))
+            acts_h = np.asarray(acts)
+            rew = np.asarray(rew)
+            if host_ls:
+                from rl4co_tpu.envs.routing.local_search import tsp_local_search
+
+                locs_h = np.asarray(chunk["locs"])
+                acts_h = tsp_local_search(locs_h, acts_h.astype(np.int32))
+                seq = np.take_along_axis(locs_h, acts_h[..., None], axis=-2)
+                rew = -np.linalg.norm(
+                    seq - np.roll(seq, -1, axis=-2), axis=-1).sum(-1)
             # validity: best-ant tours must be permutations (host-side, like
             # tasks/eval.py check_solutions=True)
-            acts_h = np.asarray(acts)
             for j in range(acts_h.shape[0]):
                 one = jax.tree.map(lambda x: x[j], chunk)
                 env.check_solution_validity(one, acts_h[j])
@@ -125,7 +142,9 @@ def main():
         "train_hours": round(train_h, 3),
         "k_sparse_edges": max(args.num_loc // 5, 10),
         "aco": {"n_ants": algo.n_ants_eval, "iterations": algo.n_iterations_eval,
-                "native_local_search": bool(ls_fn)},
+                "native_local_search": bool(ls_fn) or host_ls,
+                "local_search_mode": ("in_loop" if ls_fn
+                                      else "host_polish" if host_ls else "off")},
         "optimum_anchor": OPT_ANCHOR_TSP500,
         "device": str(jax.devices()[0]),
         "eval": table,

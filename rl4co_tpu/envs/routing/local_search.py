@@ -16,6 +16,16 @@ import numpy as np
 from rl4co_tpu.utils.ops import get_tour_length
 
 
+def host_callbacks_supported() -> bool:
+    """Whether the active JAX backend can run host callbacks inside jit.
+
+    The axon TPU PJRT tunnel (this image's TPU path) rejects host send/recv
+    callbacks (``jax.pure_callback`` raises UNIMPLEMENTED at run time), so
+    in-loop neural local search must fall back to host-side polishing there.
+    """
+    return jax.devices()[0].platform not in ("axon",)
+
+
 def tsp_local_search(locs: np.ndarray, tours: np.ndarray, max_iterations: int = 1000):
     """Host-side batched 2-opt. locs [B, N, 2], tours [B, N]."""
     from rl4co_tpu.native import batched_two_opt

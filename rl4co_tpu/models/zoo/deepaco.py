@@ -229,10 +229,23 @@ class DeepACO:
         if not self.use_local_search:
             return None
         from rl4co_tpu.envs.routing.local_search import (
+            host_callbacks_supported,
             make_cvrp_ls_fn,
             make_tsp_ls_fn,
         )
 
+        if not host_callbacks_supported():
+            import warnings
+
+            warnings.warn(
+                "use_local_search=True but this JAX backend does not support "
+                "host callbacks inside jit (axon TPU tunnel); in-loop neural "
+                "local search is disabled. Polish final tours host-side via "
+                "rl4co_tpu.envs.routing.local_search.tsp_local_search / "
+                "cvrp_local_search instead.",
+                stacklevel=2,
+            )
+            return None
         if self.env.name == "tsp":
             return make_tsp_ls_fn()
         if self.env.name == "cvrp":

@@ -158,9 +158,16 @@ class GFACS(DeepACO):
         if self.train_with_local_search:
             ls_fn = self._local_search_fn()
             if ls_fn is None:
-                raise ValueError(
-                    f"train_with_local_search unsupported for env {self.env.name!r}"
+                from rl4co_tpu.envs.routing.local_search import (
+                    host_callbacks_supported,
                 )
+
+                reason = (
+                    "the active JAX backend rejects host callbacks inside jit"
+                    if not host_callbacks_supported()
+                    else f"env {self.env.name!r} has no native local search"
+                )
+                raise ValueError(f"train_with_local_search unavailable: {reason}")
             inst_tiled = batchify(instances, s)
             ls_actions, ls_reward_flat = ls_fn(
                 inst_tiled, jax.lax.stop_gradient(out.actions), out.reward

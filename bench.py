@@ -13,22 +13,29 @@ Two measured quantities (BASELINE.md north star is *training* throughput):
    *training* trajectories only (batch × N), matching the reference's
    samples/epoch accounting; the baseline rollout is uncounted overhead.
 
-Prints exactly one JSON line. ``vs_baseline`` divides the train-step number
-by an A100 ESTIMATE (the reference publishes no measured numbers and its
-torch/tensordict stack is not installed here — see BASELINE.md); the
-``baseline_kind`` field marks it as such.
+Robustness (round-2 postmortem — BENCH_r02.json was rc=124 with no output
+because one slow remote compile blocked everything): each phase now runs in
+its own subprocess under a hard wall-clock budget, a partial JSON line is
+printed and flushed the moment the rollout phase finishes, and the final
+combined line prints last (the driver parses the tail). A phase that blows
+its budget is reported as {"skipped": "compile budget"} instead of killing
+the whole benchmark. The persistent compile cache (JAX_COMPILATION_CACHE_DIR)
+makes reruns fast once either phase has succeeded once.
+
+``vs_baseline`` divides the train-step number by an A100 ESTIMATE (the
+reference publishes no measured numbers and its torch/tensordict stack is
+not installed here — see BASELINE.md); ``baseline_kind`` marks it as such.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
-
-import jax
-import numpy as np
 
 # ESTIMATE of the reference's A100 throughput on the rollout protocol
 # (~150k env-steps/s: its Python decode loop re-launches kernels per token).
@@ -42,10 +49,24 @@ ITERS = 10
 TRAIN_BATCH = 512
 TRAIN_ITERS = 10
 
+# Hard per-phase wall-clock budgets (compile + run). The driver's overall
+# budget is ~10 min; keep rollout + train + overhead safely inside it.
+PHASE_BUDGET_S = {"rollout": 260.0, "train": 280.0}
 
-def bench_rollout(env, policy, params):
+
+def bench_rollout():
+    import jax
+    import numpy as np
+
     from rl4co_tpu.decoding import DecodeSpec
-    from rl4co_tpu.models import rollout
+    from rl4co_tpu.envs import get_env
+    from rl4co_tpu.models import AttentionModelPolicy, rollout
+    from rl4co_tpu.models.policies.constructive import init_policy_params
+    from rl4co_tpu.utils.dtype import cast_floating
+
+    env = get_env("tsp", num_loc=NUM_LOC)
+    policy = AttentionModelPolicy(env_name="tsp")
+    params = cast_floating(init_policy_params(policy, env, jax.random.PRNGKey(0)))
 
     spec = DecodeSpec(
         kind="greedy", multistart=True, num_starts=NUM_STARTS, tanh_clipping=10.0
@@ -68,10 +89,17 @@ def bench_rollout(env, policy, params):
     return BATCH * NUM_STARTS * NUM_LOC * ITERS / dt
 
 
-def bench_train_step(env, policy):
+def bench_train_step():
+    import jax
+    import numpy as np
+
     from rl4co_tpu.decoding import DecodeSpec
+    from rl4co_tpu.envs import get_env
+    from rl4co_tpu.models import AttentionModelPolicy
     from rl4co_tpu.rl.reinforce import REINFORCE
 
+    env = get_env("tsp", num_loc=NUM_LOC)
+    policy = AttentionModelPolicy(env_name="tsp")
     algo = REINFORCE(
         env=env, policy=policy, baseline="rollout",
         train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0,
@@ -90,34 +118,80 @@ def bench_train_step(env, policy):
     return TRAIN_BATCH * NUM_LOC * TRAIN_ITERS / dt
 
 
-def main():
-    from rl4co_tpu.envs import get_env
-    from rl4co_tpu.models import AttentionModelPolicy
-    from rl4co_tpu.models.policies.constructive import init_policy_params
-    from rl4co_tpu.utils.dtype import cast_floating
+def _run_phase(name):
+    """Run one phase in a subprocess under a wall-clock budget.
 
-    env = get_env("tsp", num_loc=NUM_LOC)
-    policy = AttentionModelPolicy(env_name="tsp")
-    params32 = init_policy_params(policy, env, jax.random.PRNGKey(0))
-
-    rollout_rate = bench_rollout(env, policy, cast_floating(params32))
-    train_rate = bench_train_step(env, policy)
-
-    print(
-        json.dumps(
-            {
-                "metric": "train env-steps/s/chip (TSP-100 AM REINFORCE+rollout-bl, bf16)",
-                "value": round(train_rate, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(train_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3),
-                "baseline_kind": "estimate (A100 reference unmeasured; BASELINE.md)",
-                "rollout_env_steps_per_s": round(rollout_rate, 1),
-                "rollout_vs_baseline_estimate": round(
-                    rollout_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3
-                ),
-            }
+    Returns (rate, note): rate is env-steps/s or None; note explains a None.
+    The subprocess shares the persistent compile cache, so even a timed-out
+    phase makes progress for the next invocation if its compile finished.
+    """
+    budget = PHASE_BUDGET_S[name]
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name],
+            capture_output=True, text=True, timeout=budget,
+            env=os.environ.copy(),
         )
-    )
+    except subprocess.TimeoutExpired:
+        return None, f"skipped: compile budget ({budget:.0f}s)"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
+        return None, f"error: {tail[0][:200]}"
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+            if "rate" in obj:
+                return float(obj["rate"]), None
+        except (ValueError, KeyError):
+            continue
+    return None, "error: no rate line in phase output"
+
+
+def main():
+    if "--phase" in sys.argv:
+        name = sys.argv[sys.argv.index("--phase") + 1]
+        rate = {"rollout": bench_rollout, "train": bench_train_step}[name]()
+        print(json.dumps({"phase": name, "rate": rate}), flush=True)
+        return
+
+    rollout_rate, rollout_note = _run_phase("rollout")
+    # Partial line, flushed immediately: if the train phase (or this process)
+    # dies, the driver's tail-parse still captures the rollout number.
+    partial = {
+        "metric": "rollout env-steps/s/chip (TSP-100 AM multistart-greedy)",
+        "value": round(rollout_rate, 1) if rollout_rate else None,
+        "unit": "env-steps/s",
+        "vs_baseline": round(rollout_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3)
+        if rollout_rate else None,
+    }
+    if rollout_note:
+        partial["note"] = rollout_note
+    print(json.dumps(partial), flush=True)
+
+    train_rate, train_note = _run_phase("train")
+
+    out = {
+        "metric": "train env-steps/s/chip (TSP-100 AM REINFORCE+rollout-bl, bf16)",
+        "value": round(train_rate, 1) if train_rate else None,
+        "unit": "env-steps/s",
+        "vs_baseline": round(train_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3)
+        if train_rate else None,
+        "baseline_kind": "estimate (A100 reference unmeasured; BASELINE.md)",
+        "rollout_env_steps_per_s": round(rollout_rate, 1) if rollout_rate else None,
+        "rollout_vs_baseline_estimate": round(
+            rollout_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3
+        ) if rollout_rate else None,
+    }
+    if train_note:
+        out["train_note"] = train_note
+    if rollout_note:
+        out["rollout_note"] = rollout_note
+    if train_rate is None and rollout_rate is not None:
+        # Never emit value=null as the headline when we do have a number:
+        # fall back to the rollout metric as the tail line.
+        out = dict(partial)
+        out["train_note"] = train_note
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

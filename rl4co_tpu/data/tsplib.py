@@ -222,7 +222,11 @@ def _nint(x: np.ndarray) -> np.ndarray:
 
 
 def _geo_radians(coords: np.ndarray) -> np.ndarray:
-    deg = _nint(coords)
+    # Canonical GEO arithmetic (TSPLIB FAQ / Concorde): the degree part is
+    # TRUNCATED toward zero (deg = (int) x), not nearest-int rounded —
+    # trunc keeps sign-correctness for negative longitudes. Regression:
+    # ulysses16 optimal tour must cost 6859 (tests/test_data.py).
+    deg = np.trunc(coords)
     minutes = coords - deg
     return math.pi * (deg + 5.0 * minutes / 3.0) / 180.0
 
@@ -274,6 +278,12 @@ def tour_cost(problem: dict, tour: np.ndarray, rounded: bool = True) -> float:
         dm = tsplib_distance_matrix(problem)
         return float(dm[tour, np.roll(tour, -1)].sum())
     coords = problem["node_coords"]
+    if coords is None:
+        raise ValueError(
+            "tour_cost(rounded=False) needs NODE_COORD_SECTION coordinates; "
+            f"this instance is EDGE_WEIGHT_TYPE={problem['edge_weight_type']} "
+            "with no coordinates — use rounded=True (distance-matrix metric)."
+        )
     seq = coords[tour]
     return float(np.linalg.norm(seq - np.roll(seq, -1, axis=0), axis=1).sum())
 
@@ -303,7 +313,12 @@ def tsplib_to_tsp_batch(problem: dict, normalize: bool = True):
     from rl4co_tpu.envs import get_env
 
     coords = problem["node_coords"]
-    assert coords is not None, "instance has no node coordinates"
+    if coords is None:
+        raise ValueError(
+            "tsplib_to_tsp_batch needs coordinates; EXPLICIT (matrix-only) "
+            "instances have none — use the ATSP env with "
+            "tsplib_distance_matrix(problem) as the cost matrix instead."
+        )
     locs = normalize_coords(coords) if normalize else coords
     env = get_env("tsp", num_loc=locs.shape[0])
     batch = {"locs": jnp.asarray(locs, dtype=jnp.float32)[None]}

@@ -181,6 +181,10 @@ class PointerAttention(nn.Module):
             )
 
             assert not self.out_bias, "pallas pointer path assumes no out bias"
+            # the fused kernel always applies the mask to the inner glimpse
+            # via neg_bias; refuse configs (e.g. L2D's mask_inner=False)
+            # whose semantics would silently change
+            assert self.mask_inner, "pallas pointer path requires mask_inner=True"
             return fused_pointer_logits(
                 query, glimpse_k, glimpse_v, logit_k,
                 mask_to_neg_bias(mask), w_out.astype(query.dtype),

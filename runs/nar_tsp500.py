@@ -33,7 +33,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 import jax
 import numpy as np
 
-OPT_ANCHOR_TSP500 = 16.55  # Concorde mean on uniform [0,1]^2, N=500
+# Concorde mean optimal tour length on uniform [0,1]^2, keyed by N
+# (Kool et al. 2019 Table 1 for 20/50/100; Fu et al. 2021 Table 2 for 500).
+# Gaps are only emitted when the run's --num-loc has a known anchor — a
+# mismatched anchor produced round 2's nonsense artifact (VERDICT r2 §3).
+OPT_ANCHORS = {20: 3.84, 50: 5.70, 100: 7.76, 500: 16.55}
 
 
 def main():
@@ -127,17 +131,27 @@ def main():
             costs.append(-np.asarray(rew))
         dt = time.perf_counter() - t1
         cost = float(np.concatenate(costs).mean())
+        anchor = OPT_ANCHORS.get(args.num_loc)
         table[label] = {
             "mean_cost": round(cost, 4),
-            "gap_pct_vs_concorde": round(100 * (cost - OPT_ANCHOR_TSP500)
-                                         / OPT_ANCHOR_TSP500, 2),
             "validity_checked": True,
             "eval_s": round(dt, 1),
         }
+        if anchor is not None:
+            table[label]["gap_pct_vs_concorde"] = round(
+                100 * (cost - anchor) / anchor, 2)
         print(json.dumps({label: table[label]}), flush=True)
+
+    # a "trained" result that loses to the untrained encoder means the run
+    # is not evidence of anything — refuse to write it silently (VERDICT r2)
+    trained_helps = table["trained"]["mean_cost"] <= table["untrained"]["mean_cost"]
+    if not trained_helps:
+        print("WARNING: trained encoder LOST to untrained — artifact marked",
+              flush=True)
 
     out = {
         "config": vars(args),
+        "argv": sys.argv,
         "train_steps_done": steps_done,
         "train_hours": round(train_h, 3),
         "k_sparse_edges": max(args.num_loc // 5, 10),
@@ -145,12 +159,14 @@ def main():
                 "native_local_search": bool(ls_fn) or host_ls,
                 "local_search_mode": ("in_loop" if ls_fn
                                       else "host_polish" if host_ls else "off")},
-        "optimum_anchor": OPT_ANCHOR_TSP500,
+        "optimum_anchor": OPT_ANCHORS.get(args.num_loc),
         "device": str(jax.devices()[0]),
         "eval": table,
-        "cmd": "python runs/nar_tsp500.py",
+        "trained_beats_untrained": trained_helps,
+        "cmd": "python " + " ".join(sys.argv),
     }
-    path = os.path.join(ROOT, "runs", "nar_tsp500.json")
+    suffix = "" if args.num_loc == 500 else f"_n{args.num_loc}_smoke"
+    path = os.path.join(ROOT, "runs", f"nar_tsp500{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2, default=str)
     print("WROTE", path, flush=True)

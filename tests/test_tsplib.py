@@ -118,6 +118,34 @@ def test_att_and_geo_metrics_sane():
     assert (gm >= 0).all() and np.allclose(gm, gm.T) and gm[0, 0] == 0
 
 
+ULYSSES16_COORDS = np.array([
+    [38.24, 20.42], [39.57, 26.15], [40.56, 25.32], [36.26, 23.12],
+    [33.48, 10.54], [37.56, 12.19], [38.42, 13.11], [37.52, 20.44],
+    [41.23, 9.10], [41.17, 13.05], [36.08, -5.21], [38.47, 15.13],
+    [38.15, 15.35], [37.51, 15.17], [35.49, 14.32], [39.36, 19.56],
+])
+
+
+def test_geo_ulysses16_published_optimum():
+    """GEO regression: canonical TSPLIB GEO arithmetic truncates the degree
+    part (Concorde `(int) x`), it does not round. The published ulysses16
+    optimum is 6859; nint-rounding the degrees gives 6917 (ADVICE r2)."""
+    p = {"edge_weight_type": "GEO", "node_coords": ULYSSES16_COORDS,
+         "edge_weights": None}
+    opt = np.array([1, 14, 13, 12, 7, 6, 15, 5, 11, 9, 10, 16, 3, 2, 4, 8]) - 1
+    assert tour_cost(p, opt) == 6859.0
+
+
+def test_explicit_instance_clear_errors():
+    """EXPLICIT (matrix-only) instances must raise descriptive errors from
+    coordinate-requiring paths, not opaque TypeErrors (ADVICE r2)."""
+    p = read_tsplib(EXPLICIT_TSP)
+    with pytest.raises(ValueError, match="rounded=True"):
+        tour_cost(p, np.array([0, 1, 2]), rounded=False)
+    with pytest.raises(ValueError, match="ATSP"):
+        tsplib_to_tsp_batch(p)
+
+
 def test_cvrplib_solution_parse():
     sol = read_cvrplib_solution(SOL_FILE)
     assert sol["routes"] == [[1, 2], [3, 4]] and sol["cost"] == 42.0

@@ -69,6 +69,52 @@ def make_tsp_ls_fn(max_iterations: int = 200):
     return ls
 
 
+def make_host_tsp_ls(max_iterations: int = 200):
+    """Host-side TSP local-search closure for the segmented ACO loop
+    (reference runs 2-opt on CPU *between* sampling rounds,
+    `antsystem.py:173-210`): (host instances, actions, reward) -> improved
+    (actions, reward), all numpy. Works on every backend — including the
+    axon TPU tunnel, which rejects in-jit host callbacks."""
+
+    def ls(inst_tiled, actions, reward):
+        locs = np.asarray(inst_tiled["locs"])
+        new_actions = tsp_local_search(
+            locs, np.asarray(actions).astype(np.int32), max_iterations
+        ).astype(np.int32)
+        seq = np.take_along_axis(locs, new_actions[..., None], axis=-2)
+        new_reward = -np.linalg.norm(
+            seq - np.roll(seq, -1, axis=-2), axis=-1
+        ).sum(-1).astype(np.float32)
+        return new_actions, new_reward
+
+    return ls
+
+
+def make_host_cvrp_ls(capacity: float = 1.0, max_iterations: int = 100):
+    """Host-side CVRP local-search closure (segmented ACO loop)."""
+
+    def ls(inst_tiled, actions, reward):
+        locs = np.concatenate(
+            [np.asarray(inst_tiled["depot"])[:, None, :],
+             np.asarray(inst_tiled["locs"])], axis=-2)
+        demand_wd = np.concatenate(
+            [np.zeros_like(np.asarray(inst_tiled["demand"])[:, :1]),
+             np.asarray(inst_tiled["demand"])], axis=-1)
+        new_actions = cvrp_local_search(
+            locs, demand_wd, np.asarray(actions).astype(np.int32),
+            capacity, max_iterations,
+        ).astype(np.int32)
+        with_depot = np.concatenate(
+            [np.zeros_like(new_actions[:, :1]), new_actions], axis=-1)
+        seq = np.take_along_axis(locs, with_depot[..., None], axis=-2)
+        new_reward = -np.linalg.norm(
+            seq - np.roll(seq, -1, axis=-2), axis=-1
+        ).sum(-1).astype(np.float32)
+        return new_actions, new_reward
+
+    return ls
+
+
 def make_cvrp_ls_fn(capacity: float = 1.0, max_iterations: int = 100):
     """Jit-safe CVRP local-search closure for the ACO loop."""
 

@@ -73,6 +73,37 @@ class WandbLogger:
         self._wandb.log({k: v for k, v in metrics.items()})
 
 
+class TensorBoardLogger:
+    """TensorBoard event-file adapter (reference
+    `configs/logger/tensorboard.yaml`). Scalars land next to any jax
+    profiler traces written to the same logdir, so metrics + traces share
+    one UI. Steps: uses the ``step`` metric when present (the Trainer logs
+    it), else an internal counter."""
+
+    def __init__(self, logdir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        os.makedirs(logdir, exist_ok=True)
+        self.writer = SummaryWriter(log_dir=logdir)
+        self._auto_step = 0
+
+    def __call__(self, metrics: dict) -> None:
+        step = metrics.get("step", metrics.get("it", self._auto_step))
+        try:
+            step = int(step)
+        except (TypeError, ValueError):
+            step = self._auto_step
+        for k, v in metrics.items():
+            if k in ("step", "it"):
+                continue
+            try:
+                self.writer.add_scalar(k, float(v), global_step=step)
+            except (TypeError, ValueError):
+                continue
+        self.writer.flush()
+        self._auto_step = max(self._auto_step + 1, step + 1)
+
+
 class MultiLogger:
     def __init__(self, *loggers):
         self.loggers = loggers

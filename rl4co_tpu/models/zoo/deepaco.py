@@ -39,8 +39,8 @@ class ACOCarry:
     best_reward: jax.Array    # [B]
 
 
-def ant_system_step(
-    carry: ACOCarry,
+def sample_ants(
+    pheromone: jax.Array,
     env: Env,
     instances,
     log_heuristic: jax.Array,
@@ -48,23 +48,28 @@ def ant_system_step(
     n_ants: int,
     alpha: float,
     beta: float,
-    decay: float,
-    q: float,
-    local_search_fn=None,
-) -> ACOCarry:
-    """One ACO iteration (reference `antsystem.py:120-147` `_one_step`)."""
+):
+    """Sample one round of ant trajectories from pheromone × heuristic
+    (reference `antsystem.py:149-171`). Returns flat ([B·ants, T], [B·ants])."""
     kstart, kroll = jax.random.split(key)
-    heat = alpha * jnp.log(carry.pheromone) + beta * log_heuristic
+    heat = alpha * jnp.log(pheromone) + beta * log_heuristic
     spec = DecodeSpec(kind="sampling", multistart=True, num_starts=n_ants)
     first = random_feasible_starts(env, instances, n_ants, kstart)
     out = nar_rollout(env, instances, heat, kroll, spec, first_actions=first)
-    actions = out.actions
-    reward = out.reward
-    if local_search_fn is not None:
-        from rl4co_tpu.utils.ops import batchify
+    return out.actions, out.reward
 
-        inst_tiled = batchify(instances, n_ants)  # match the flat ant batch
-        actions, reward = local_search_fn(inst_tiled, actions, reward)
+
+def update_ant_state(
+    carry: ACOCarry,
+    actions: jax.Array,  # [B·ants, T]
+    reward: jax.Array,   # [B·ants]
+    n_ants: int,
+    decay: float,
+    q: float,
+) -> ACOCarry:
+    """Best-ant bookkeeping + pheromone deposit/decay
+    (reference `antsystem.py:232-276`)."""
+    num_nodes = carry.pheromone.shape[-1]
     reward_g = unbatchify(reward, n_ants)   # [B, ants]
     actions_g = unbatchify(actions, n_ants)  # [B, ants, T]
 
@@ -88,7 +93,7 @@ def ant_system_step(
     def deposit(fb, tb, rb):
         # scatter-add as a one-hot matmul (MXU; avoids the batched-scatter
         # path this image's TPU backend miscompiles at batch >= ~1024)
-        n = log_heuristic.shape[-1]
+        n = num_nodes
         f = fb.reshape(-1)
         t = tb.reshape(-1)
         w = jnp.broadcast_to(rb[:, None], fb.shape).reshape(-1)
@@ -103,6 +108,31 @@ def ant_system_step(
     return ACOCarry(
         pheromone=pheromone, best_actions=best_actions, best_reward=best_reward
     )
+
+
+def ant_system_step(
+    carry: ACOCarry,
+    env: Env,
+    instances,
+    log_heuristic: jax.Array,
+    key: jax.Array,
+    n_ants: int,
+    alpha: float,
+    beta: float,
+    decay: float,
+    q: float,
+    local_search_fn=None,
+) -> ACOCarry:
+    """One ACO iteration (reference `antsystem.py:120-147` `_one_step`)."""
+    actions, reward = sample_ants(
+        carry.pheromone, env, instances, log_heuristic, key, n_ants, alpha, beta
+    )
+    if local_search_fn is not None:
+        from rl4co_tpu.utils.ops import batchify
+
+        inst_tiled = batchify(instances, n_ants)  # match the flat ant batch
+        actions, reward = local_search_fn(inst_tiled, actions, reward)
+    return update_ant_state(carry, actions, reward, n_ants, decay, q)
 
 
 def run_ant_system(
@@ -139,6 +169,65 @@ def run_ant_system(
     return carry.best_actions, carry.best_reward, reward_trace
 
 
+def run_ant_system_host_ls(
+    env: Env,
+    instances,
+    log_heuristic: jax.Array,
+    key: jax.Array,
+    host_ls,
+    n_ants: int = 20,
+    n_iterations: int = 10,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    decay: float = 0.95,
+    q: Optional[float] = None,
+):
+    """Ant System with host-side local search BETWEEN jitted segments.
+
+    The reference's own structure: sampling on device, 2-opt/SWAP* on CPU
+    with the instance data, pheromone update back on device
+    (`antsystem.py:173-210` runs LS outside the sampling graph). This is
+    the path for backends that reject in-jit host callbacks (the axon TPU
+    tunnel) — two small jitted programs (sample / update) driven by a host
+    loop, LS feedback still reaching the pheromone like the reference.
+    """
+    import numpy as np
+
+    from rl4co_tpu.utils.ops import batchify
+
+    q = (1.0 / n_ants / decay) if q is None else q
+    b = log_heuristic.shape[0]
+    t = env.max_steps
+    carry = ACOCarry(
+        pheromone=jnp.ones_like(log_heuristic),
+        best_actions=jnp.zeros((b, t), dtype=jnp.int32),
+        best_reward=jnp.full((b,), -jnp.inf),
+    )
+
+    @jax.jit
+    def _sample(pheromone, k):
+        return sample_ants(
+            pheromone, env, instances, log_heuristic, k, n_ants, alpha, beta
+        )
+
+    @jax.jit
+    def _update(c, actions, reward):
+        c = update_ant_state(c, actions, reward, n_ants, decay, q)
+        return c, c.best_reward.mean()
+
+    inst_tiled = jax.device_get(batchify(instances, n_ants))
+    trace = []
+    for k in jax.random.split(key, n_iterations):
+        actions, reward = _sample(carry.pheromone, k)
+        a_h, r_h = host_ls(inst_tiled, np.asarray(actions), np.asarray(reward))
+        carry, mean_best = _update(
+            carry, jnp.asarray(a_h, dtype=jnp.int32),
+            jnp.asarray(r_h, dtype=reward.dtype),
+        )
+        trace.append(mean_best)
+    return carry.best_actions, carry.best_reward, jnp.stack(trace)
+
+
 @dataclasses.dataclass(frozen=True)
 class DeepACO:
     """DeepACO algorithm (training + ACO eval)."""
@@ -148,7 +237,11 @@ class DeepACO:
     n_ants_train: int = 30
     n_ants_eval: int = 48
     n_iterations_eval: int = 10
-    use_local_search: bool = False  # native C++ NLS inside the ACO loop
+    use_local_search: bool = False  # native C++ NLS in the ACO loop
+    # "auto": in-jit pure_callback where the backend supports it, else
+    # host-side polish between jitted segments (the reference's structure —
+    # LS on CPU between sampling rounds, `antsystem.py:173-210`).
+    ls_mode: str = "auto"  # "auto" | "in_jit" | "host_segments"
     aco_alpha: float = 1.0
     aco_beta: float = 1.0
     aco_decay: float = 0.95
@@ -223,40 +316,63 @@ class DeepACO:
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
+    def _resolved_ls_mode(self) -> Optional[str]:
+        """None (LS off) | "in_jit" | "host_segments"."""
+        if not self.use_local_search or self.env.name not in ("tsp", "cvrp"):
+            return None
+        if self.ls_mode in ("in_jit", "host_segments"):
+            return self.ls_mode
+        from rl4co_tpu.envs.routing.local_search import host_callbacks_supported
+
+        return "in_jit" if host_callbacks_supported() else "host_segments"
+
     def _local_search_fn(self):
         """Native C++ local search as a jit-safe callback (reference NLS,
-        `antsystem.py:173-231`); tsp/cvrp only."""
-        if not self.use_local_search:
+        `antsystem.py:173-231`); tsp/cvrp only, in_jit mode only."""
+        if self._resolved_ls_mode() != "in_jit":
             return None
         from rl4co_tpu.envs.routing.local_search import (
-            host_callbacks_supported,
             make_cvrp_ls_fn,
             make_tsp_ls_fn,
         )
 
-        if not host_callbacks_supported():
-            import warnings
+        return make_tsp_ls_fn() if self.env.name == "tsp" else make_cvrp_ls_fn()
 
-            warnings.warn(
-                "use_local_search=True but this JAX backend does not support "
-                "host callbacks inside jit (axon TPU tunnel); in-loop neural "
-                "local search is disabled. Polish final tours host-side via "
-                "rl4co_tpu.envs.routing.local_search.tsp_local_search / "
-                "cvrp_local_search instead.",
-                stacklevel=2,
-            )
-            return None
-        if self.env.name == "tsp":
-            return make_tsp_ls_fn()
-        if self.env.name == "cvrp":
-            return make_cvrp_ls_fn()
-        return None
+    def _host_ls_fn(self):
+        """Host-side LS closure for the segmented loop (works everywhere)."""
+        from rl4co_tpu.envs.routing.local_search import (
+            make_host_cvrp_ls,
+            make_host_tsp_ls,
+        )
+
+        return (make_host_tsp_ls() if self.env.name == "tsp"
+                else make_host_cvrp_ls())
+
+    def _apply_heatmap(self, params, instances):
+        return self.encoder.apply(params, instances)
 
     def make_eval_step(self, spec=None):
+        mode = self._resolved_ls_mode()
+        if mode == "host_segments":
+            # host-driven loop (sample/update jitted inside); not one jit
+            def eval_step(params, instances, key):
+                heat = self._apply_heatmap(params, instances)
+                _, best_reward, _ = run_ant_system_host_ls(
+                    self.env, instances, heat, key, self._host_ls_fn(),
+                    n_ants=self.n_ants_eval,
+                    n_iterations=self.n_iterations_eval,
+                    alpha=self.aco_alpha, beta=self.aco_beta,
+                    decay=self.aco_decay,
+                )
+                return {"reward": best_reward.mean(),
+                        "max_reward": best_reward.max()}
+
+            return eval_step
+
         ls_fn = self._local_search_fn()
 
         def eval_step(params, instances, key):
-            heat = self.encoder.apply(params, instances)
+            heat = self._apply_heatmap(params, instances)
             _, best_reward, _ = run_ant_system(
                 self.env, instances, heat, key,
                 n_ants=self.n_ants_eval,

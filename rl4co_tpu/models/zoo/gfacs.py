@@ -20,6 +20,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import linen as nn
 
 from rl4co_tpu.decoding import DecodeSpec
@@ -29,6 +30,7 @@ from rl4co_tpu.models.policies.nonautoregressive import (
 )
 from rl4co_tpu.models.zoo.deepaco import DeepACO
 from rl4co_tpu.models.zoo.nargnn import EdgeHeatmapGenerator, NARGNNEncoder
+from rl4co_tpu.rl.reinforce import TrainState
 from rl4co_tpu.models.nn.env_embeddings import env_init_embedding
 from rl4co_tpu.models.nn.env_embeddings.edge import env_edge_embedding
 from rl4co_tpu.models.nn.graph.gnn import SparseGNNEncoder
@@ -158,43 +160,22 @@ class GFACS(DeepACO):
         if self.train_with_local_search:
             ls_fn = self._local_search_fn()
             if ls_fn is None:
-                from rl4co_tpu.envs.routing.local_search import (
-                    host_callbacks_supported,
-                )
-
-                reason = (
-                    "the active JAX backend rejects host callbacks inside jit"
-                    if not host_callbacks_supported()
-                    else f"env {self.env.name!r} has no native local search"
-                )
-                raise ValueError(f"train_with_local_search unavailable: {reason}")
+                raise ValueError(
+                    "train_with_local_search in-jit path unavailable: env "
+                    f"{self.env.name!r} has no native local search or the "
+                    "backend rejects in-jit callbacks (use make_train_step, "
+                    "which auto-selects the host-segmented path)")
             inst_tiled = batchify(instances, s)
             ls_actions, ls_reward_flat = ls_fn(
                 inst_tiled, jax.lax.stop_gradient(out.actions), out.reward
             )
-            ls_actions = jax.lax.stop_gradient(ls_actions)
-            ls_reward = unbatchify(jax.lax.stop_gradient(ls_reward_flat), s)
-            ls_advantage = ls_reward - ls_reward.mean(axis=-1, keepdims=True)
-            weighted_advantage = (
-                advantage * (1.0 - self.alpha) + ls_advantage * self.alpha
+            ls_term = self._ls_tb_terms(
+                heat, logZ, instances, kroll, advantage,
+                jax.lax.stop_gradient(ls_actions),
+                jax.lax.stop_gradient(ls_reward_flat),
             )
-            # Replay the improved trajectories (Evaluate decoding, top_k=0 —
-            # reference `gfacs/policy.py:139-146`); first action forced with
-            # zero logprob, matching the multistart on-policy convention.
-            ls_spec = DecodeSpec(
-                kind="evaluate", multistart=True, num_starts=s,
-                temperature=self.temperature,
-            )
-            ls_out = nar_rollout(
-                self.env, instances, heat, kroll, ls_spec,
-                first_actions=ls_actions[:, 0], replay_actions=ls_actions,
-            )
-            ls_ll = unbatchify(ls_out.log_likelihood, s)
-            ls_log_pb = unbatchify(log_pb_uniform(self.env.name, ls_actions), s)
-            ls_forward = ls_ll + logZ[:, 1:2]
-            ls_backward = ls_log_pb + jax.lax.stop_gradient(ls_advantage) * self.beta
-            ls_tb_loss = jnp.square(ls_forward - ls_backward).mean()
-            metrics["ls_reward"] = ls_reward.mean()
+            weighted_advantage, ls_tb_loss = ls_term[0], ls_term[1]
+            metrics["ls_reward"] = ls_term[2]
 
         forward_flow = ll + logZ[:, 0:1]
         backward_flow = log_pb + jax.lax.stop_gradient(weighted_advantage) * self.beta
@@ -208,21 +189,130 @@ class GFACS(DeepACO):
         })
         return tb_loss, metrics
 
-    def make_eval_step(self, spec=None):  # noqa: D102
-        def eval_step(params, instances, key):
-            from rl4co_tpu.models.zoo.deepaco import run_ant_system
+    def _ls_tb_terms(self, heat, logZ, instances, kroll, advantage,
+                     ls_actions, ls_reward_flat):
+        """Off-policy trajectory-balance terms for LS-improved trajectories
+        (reference `gfacs/model.py:110-138`): replay them differentiably
+        (Evaluate decoding, `gfacs/policy.py:139-146`), blend advantages by
+        the annealed α. Shared by the in-jit and host-segmented paths."""
+        s = self.n_ants_train
+        ls_reward = unbatchify(ls_reward_flat, s)
+        ls_advantage = ls_reward - ls_reward.mean(axis=-1, keepdims=True)
+        weighted_advantage = (
+            advantage * (1.0 - self.alpha) + ls_advantage * self.alpha
+        )
+        ls_spec = DecodeSpec(
+            kind="evaluate", multistart=True, num_starts=s,
+            temperature=self.temperature,
+        )
+        ls_out = nar_rollout(
+            self.env, instances, heat, kroll, ls_spec,
+            first_actions=ls_actions[:, 0], replay_actions=ls_actions,
+        )
+        ls_ll = unbatchify(ls_out.log_likelihood, s)
+        ls_log_pb = unbatchify(log_pb_uniform(self.env.name, ls_actions), s)
+        ls_forward = ls_ll + logZ[:, 1:2]
+        ls_backward = ls_log_pb + jax.lax.stop_gradient(ls_advantage) * self.beta
+        ls_tb_loss = jnp.square(ls_forward - ls_backward).mean()
+        return weighted_advantage, ls_tb_loss, ls_reward.mean()
 
+    def _segmented_loss(self, params, instances, kroll,
+                        actions, reward_flat, ls_actions, ls_reward_flat):
+        """TB loss with trajectories provided from outside the graph (the
+        host-segmented path): the on-policy trajectories are replayed with
+        Evaluate decoding — same log-likelihood gradient as the sampling
+        rollout that produced them."""
+        s = self.n_ants_train
+        heat, logZ = self.encoder.apply(params, instances)
+        replay_spec = DecodeSpec(
+            kind="evaluate", multistart=True, num_starts=s,
+            temperature=self.temperature,
+        )
+        out = nar_rollout(
+            self.env, instances, heat, kroll, replay_spec,
+            first_actions=actions[:, 0], replay_actions=actions,
+        )
+        reward = unbatchify(reward_flat, s)
+        ll = unbatchify(out.log_likelihood, s)
+        advantage = reward - reward.mean(axis=-1, keepdims=True)
+        log_pb = unbatchify(log_pb_uniform(self.env.name, actions), s)
+
+        weighted_advantage, ls_tb_loss, ls_reward_mean = self._ls_tb_terms(
+            heat, logZ, instances, kroll, advantage, ls_actions, ls_reward_flat
+        )
+        forward_flow = ll + logZ[:, 0:1]
+        backward_flow = (log_pb
+                         + jax.lax.stop_gradient(weighted_advantage) * self.beta)
+        tb_loss = jnp.square(forward_flow - backward_flow).mean() + ls_tb_loss
+        metrics = {
+            "loss": tb_loss,
+            "reward": reward.mean(),
+            "best_ant_reward": reward.max(axis=-1).mean(),
+            "ls_reward": ls_reward_mean,
+            "logZ": logZ.mean(),
+            "entropy": out.entropy.mean(),
+        }
+        return tb_loss, metrics
+
+    def make_train_step(self, batch_size: int, mesh=None, donate: bool = True):
+        """LS-training works on every backend: in-jit callbacks where the
+        platform supports them, else host-segmented (sample on device → C++
+        LS on host → differentiable replay + update on device) — the
+        reference's own CPU-LS-between-rounds structure (VERDICT r2 §4)."""
+        if not (self.train_with_local_search
+                and self._resolved_ls_mode() == "host_segments"):
+            return super().make_train_step(batch_size, mesh=mesh, donate=donate)
+
+        import numpy as np
+
+        tx = self.make_optimizer()
+        s = self.n_ants_train
+        host_ls = self._host_ls_fn()
+
+        @jax.jit
+        def sample(params, step, key):
+            kdata, kstart, kroll = jax.random.split(
+                jax.random.fold_in(key, step), 3)
+            instances = self.env.generate_batch(kdata, batch_size)
             heat, _ = self.encoder.apply(params, instances)
-            _, best_reward, _ = run_ant_system(
-                self.env, instances, heat, key,
-                n_ants=self.n_ants_eval,
-                n_iterations=self.n_iterations_eval,
-                alpha=self.aco_alpha, beta=self.aco_beta, decay=self.aco_decay,
-                local_search_fn=self._local_search_fn(),
+            spec = DecodeSpec(
+                kind="sampling", multistart=True, num_starts=s,
+                temperature=self.temperature, top_k=self.top_k,
             )
-            return {"reward": best_reward.mean(), "max_reward": best_reward.max()}
+            first = random_feasible_starts(self.env, instances, s, kstart)
+            out = nar_rollout(self.env, instances, heat, kroll, spec,
+                              first_actions=first)
+            return instances, out.actions, out.reward, kroll
 
-        return jax.jit(eval_step)
+        @jax.jit
+        def update(state, instances, kroll, actions, reward,
+                   ls_actions, ls_reward):
+            grads, metrics = jax.grad(self._segmented_loss, has_aux=True)(
+                state.params, instances, kroll, actions, reward,
+                ls_actions, ls_reward,
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params=params, opt_state=opt_state,
+                           baseline_state=None, step=state.step + 1),
+                metrics,
+            )
+
+        def step(state, key):
+            instances, actions, reward, kroll = sample(
+                state.params, state.step, key)
+            inst_tiled = jax.device_get(batchify(instances, s))
+            a_h, r_h = host_ls(inst_tiled, np.asarray(actions),
+                               np.asarray(reward))
+            return update(state, instances, kroll, actions, reward,
+                          jnp.asarray(a_h, dtype=jnp.int32),
+                          jnp.asarray(r_h, dtype=jnp.float32))
+
+        return step
+
+    def _apply_heatmap(self, params, instances):  # noqa: D102
+        return self.encoder.apply(params, instances)[0]
 
     def greedy_reward_fn(self):
         def fn(params, instances):

@@ -252,6 +252,8 @@ def main(argv: Optional[list] = None):
     p.add_argument("--baseline", default="rollout")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--log-file", default=None, help="JSONL metrics file")
+    p.add_argument("--tensorboard", default=None, metavar="LOGDIR",
+                   help="also write TensorBoard event files to LOGDIR")
     p.add_argument("--ckpt-dir", default=None,
                    help="save best (val/reward max) + last checkpoints here")
     p.add_argument("--resume-from", default=None,
@@ -293,11 +295,15 @@ def main(argv: Optional[list] = None):
         mesh = make_mesh(dp=args.dp if args.dp > 1 else n_dev)
         print(f"Data-parallel mesh: dp={mesh.shape['dp']} over {n_dev} devices")
     logger = None
-    if args.log_file:
-        from rl4co_tpu.loggers import JSONLLogger, MultiLogger
+    if args.log_file or args.tensorboard:
+        from rl4co_tpu.loggers import JSONLLogger, MultiLogger, TensorBoardLogger
 
-        logger = MultiLogger(JSONLLogger(args.log_file),
-                             lambda m: print(json.dumps({k: str(v) for k, v in m.items()})))
+        parts = [lambda m: print(json.dumps({k: str(v) for k, v in m.items()}))]
+        if args.log_file:
+            parts.append(JSONLLogger(args.log_file))
+        if args.tensorboard:
+            parts.append(TensorBoardLogger(args.tensorboard))
+        logger = MultiLogger(*parts)
     print(f"Workload: {spec}")
     algo, trainer = build(spec, mesh=mesh, logger=logger)
     state = trainer.fit(resume_from=args.resume_from)

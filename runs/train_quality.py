@@ -232,8 +232,8 @@ def main(argv=None):
         "train_hours": round(train_h, 3),
         "device": str(jax.devices()[0]),
         "eval": table,
-        "cmd": f"python runs/train_quality.py --preset {args.preset}"
-               + (f" --epochs {p['epochs']}" if args.epochs is not None else ""),
+        "cmd": "python " + " ".join(sys.argv),
+        "argv": sys.argv,
     }
     with open(os.path.join(RUNS, f"{name}_eval.json"), "w") as f:
         json.dump(out, f, indent=2, default=str)

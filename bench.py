@@ -51,7 +51,12 @@ TRAIN_ITERS = 10
 
 # Hard per-phase wall-clock budgets (compile + run). The driver's overall
 # budget is ~10 min; keep rollout + train + overhead safely inside it.
-PHASE_BUDGET_S = {"rollout": 260.0, "train": 280.0}
+# Phases share a deadline: a fast rollout phase donates its leftover budget
+# to the train phase (the axon tunnel's compile latency varies 5-10x
+# between healthy and loaded windows — round-3 measurements: 65 s to
+# 280 s for the identical program).
+TOTAL_BUDGET_S = 560.0
+PHASE_BUDGET_S = {"rollout": 300.0, "train": 280.0}
 
 
 def bench_rollout():
@@ -66,7 +71,18 @@ def bench_rollout():
 
     env = get_env("tsp", num_loc=NUM_LOC)
     policy = AttentionModelPolicy(env_name="tsp")
-    params = cast_floating(init_policy_params(policy, env, jax.random.PRNGKey(0)))
+
+    # Param init + data gen run dozens of tiny jit programs; on the axon
+    # remote-compile tunnel each round-trip costs seconds (round-2/3
+    # postmortem: ~60 s of wall just for init). Run them on the in-process
+    # CPU backend and ship the arrays over once.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = cast_floating(init_policy_params(policy, env, jax.random.PRNGKey(0)))
+        instances = env.generate_batch(jax.random.PRNGKey(1), BATCH)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    instances = jax.device_put(instances, dev)
 
     spec = DecodeSpec(
         kind="greedy", multistart=True, num_starts=NUM_STARTS, tanh_clipping=10.0
@@ -76,7 +92,6 @@ def bench_rollout():
     def fwd(params, instances, key):
         return rollout(policy, params, env, instances, key, spec).reward
 
-    instances = env.generate_batch(jax.random.PRNGKey(1), BATCH)
     key = jax.random.PRNGKey(2)
     # NOTE: fetch to host for timing — on the axon platform
     # block_until_ready does not actually block.
@@ -105,27 +120,39 @@ def bench_train_step():
         train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0,
                               compute_dtype="bfloat16"),
     )
-    state = algo.init(jax.random.PRNGKey(0))
+    # Init (params + rollout-baseline greedy pass) on the CPU backend to
+    # avoid dozens of slow remote-tunnel compiles; transfer the state once.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state = algo.init(jax.random.PRNGKey(0))
+    state = jax.device_put(state, jax.devices()[0])
     step = algo.make_train_step(TRAIN_BATCH)
     key = jax.random.PRNGKey(3)
     state, m = step(state, key)  # compile + warmup
     np.asarray(m["loss"])
+    # Fetch the loss every iteration: queueing many in-flight *donated*
+    # executions deadlocks the axon tunnel (round-3 postmortem — the
+    # no-fetch loop hung >6 min twice while the fetch-per-step loop ran
+    # in 0.34 s/step). The fetch RTT is part of the measured time; the
+    # steady-state step is ~0.3 s so the distortion is small.
     t0 = time.perf_counter()
     for i in range(TRAIN_ITERS):
         state, m = step(state, jax.random.fold_in(key, i))
-    np.asarray(m["loss"])
+        np.asarray(m["loss"])
     dt = time.perf_counter() - t0
     return TRAIN_BATCH * NUM_LOC * TRAIN_ITERS / dt
 
 
-def _run_phase(name):
+def _run_phase(name, deadline):
     """Run one phase in a subprocess under a wall-clock budget.
 
     Returns (rate, note): rate is env-steps/s or None; note explains a None.
     The subprocess shares the persistent compile cache, so even a timed-out
     phase makes progress for the next invocation if its compile finished.
     """
-    budget = PHASE_BUDGET_S[name]
+    budget = min(PHASE_BUDGET_S[name], deadline - time.monotonic())
+    if budget < 30.0:
+        return None, "skipped: no budget left"
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", name],
@@ -154,7 +181,8 @@ def main():
         print(json.dumps({"phase": name, "rate": rate}), flush=True)
         return
 
-    rollout_rate, rollout_note = _run_phase("rollout")
+    deadline = time.monotonic() + TOTAL_BUDGET_S
+    rollout_rate, rollout_note = _run_phase("rollout", deadline)
     # Partial line, flushed immediately: if the train phase (or this process)
     # dies, the driver's tail-parse still captures the rollout number.
     partial = {
@@ -168,7 +196,7 @@ def main():
         partial["note"] = rollout_note
     print(json.dumps(partial), flush=True)
 
-    train_rate, train_note = _run_phase("train")
+    train_rate, train_note = _run_phase("train", deadline)
 
     out = {
         "metric": "train env-steps/s/chip (TSP-100 AM REINFORCE+rollout-bl, bf16)",

@@ -124,12 +124,22 @@ class REINFORCE:
 
     # ---- train step factory ----
 
-    def make_train_step(self, batch_size: int, mesh=None, donate: bool = True):
+    def make_train_step(
+        self, batch_size: int, mesh=None, donate: bool = True, chunk: int = 1
+    ):
         """Build the jitted train step: generate → rollout → loss → update.
 
         With ``mesh``, instances are constrained to the ``dp`` axis and params
         replicated — XLA inserts the psum gradient reduction (the TPU
         equivalent of DDP all-reduce, SURVEY.md §2.10).
+
+        With ``chunk > 1``, one dispatch runs ``chunk`` consecutive train
+        steps under a single `lax.scan` and returns stacked ``(chunk,)``
+        metrics. The per-step RNG stream is identical to ``chunk=1`` because
+        each step folds the dispatch key with ``state.step`` — chaining is a
+        pure dispatch-overhead optimization (the axon TPU tunnel charges a
+        multi-ms round trip per dispatch, which at batch 512 is a large
+        fraction of the ~100 ms step).
         """
         tx = self.make_optimizer()
 
@@ -157,6 +167,12 @@ class REINFORCE:
             )
             return new_state, metrics
 
+        if chunk > 1:
+            def superstep(state: TrainState, key: jax.Array):
+                return jax.lax.scan(
+                    lambda s, _: step(s, key), state, None, length=chunk
+                )
+            return jax.jit(superstep, donate_argnums=(0,) if donate else ())
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     # ---- evaluation ----

@@ -51,6 +51,13 @@ class TrainerConfig:
     # up the identical schedule). For preempted/time-sliced accelerator
     # quotas — the reference has no equivalent (Lightning `max_time` analog).
     max_hours: Optional[float] = None
+    # Steps fused into one dispatch when the algorithm supports chained
+    # train steps (`make_train_step(chunk=...)`). None → auto: the largest
+    # divisor of steps_per_epoch ≤ log_every. 1 → one dispatch per step.
+    # The RNG schedule is identical either way (steps fold the key with
+    # state.step); chaining only amortizes the per-dispatch round trip,
+    # which on the axon TPU tunnel is a large fraction of a small-batch step.
+    steps_per_dispatch: Optional[int] = None
 
 
 class Trainer:
@@ -137,26 +144,40 @@ class Trainer:
             self.logger({"resumed_from": resume_from, "epoch": start_epoch,
                          "best_monitor": best_monitor})
 
-        train_step = self.algo.make_train_step(cfg.batch_size, mesh=self.mesh)
-        eval_step = self.algo.make_eval_step()
         steps_per_epoch = max(1, cfg.train_data_size // cfg.batch_size)
+        chunk = self._pick_chunk(steps_per_epoch)
+        train_step = self.algo.make_train_step(
+            cfg.batch_size, mesh=self.mesh,
+            **({"chunk": chunk} if chunk > 1 else {}),
+        )
+        eval_step = self.algo.make_eval_step()
 
         profiling = False
         fit_t0 = time.perf_counter()
         for epoch in range(start_epoch, cfg.epochs):
             kepoch = jax.random.fold_in(krun, epoch)
             t0 = time.perf_counter()
-            for it in range(steps_per_epoch):
-                if cfg.profile_dir and epoch == start_epoch and it == 1:
-                    # skip step 0 (compile); trace steady-state steps
+            for it in range(0, steps_per_epoch, chunk):
+                if cfg.profile_dir and epoch == start_epoch and it == chunk:
+                    # skip dispatch 0 (compile); trace steady-state steps
                     jax.profiler.start_trace(cfg.profile_dir)
                     profiling = True
                 state, metrics = train_step(state, kepoch)
-                if profiling and it >= cfg.profile_steps:
+                if profiling and it // chunk >= cfg.profile_steps:
                     jax.block_until_ready(state.params)
                     jax.profiler.stop_trace()
                     profiling = False
-                if it % cfg.log_every == 0:
+                if chunk > 1:
+                    # Fetch every dispatch: serializes the tunnel (queued
+                    # donated executions can deadlock the axon backend) and
+                    # costs one RTT per `chunk` steps. Log the chunk's last
+                    # step under its global step index.
+                    metrics = jax.device_get(metrics)
+                    self.logger({
+                        "epoch": epoch, "it": it + chunk - 1,
+                        **{k: v[-1] for k, v in metrics.items()},
+                    })
+                elif it % cfg.log_every == 0:
                     metrics = jax.device_get(metrics)
                     self.logger({"epoch": epoch, "it": it, **metrics})
             if profiling:  # short epoch: close the trace before validation
@@ -217,6 +238,23 @@ class Trainer:
                 break
 
         return state
+
+    def _pick_chunk(self, steps_per_epoch: int) -> int:
+        """Largest divisor of steps_per_epoch ≤ the configured dispatch size,
+        or 1 when the algorithm's ``make_train_step`` has no ``chunk`` param."""
+        cfg = self.config
+        if cfg.steps_per_dispatch == 1:
+            return 1
+        import inspect
+
+        try:
+            params = inspect.signature(self.algo.make_train_step).parameters
+        except (TypeError, ValueError):
+            return 1
+        if "chunk" not in params:
+            return 1
+        target = min(cfg.steps_per_dispatch or cfg.log_every, steps_per_epoch)
+        return max(c for c in range(1, target + 1) if steps_per_epoch % c == 0)
 
     def test(self, state, datasets: Optional[dict] = None, key=None) -> dict:
         """Test phase (reference `tasks/train.py:79-86` trainer.test after fit;

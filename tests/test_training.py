@@ -174,3 +174,45 @@ def test_trainer_test_phase_named_datasets():
     # default: generated test set
     record2 = trainer.test(state)
     assert np.isfinite(record2["test/test/reward"])
+
+
+def test_chunked_train_step_matches_stepwise():
+    """`make_train_step(chunk=K)` runs K scanned steps per dispatch with the
+    SAME RNG schedule as K separate dispatches (each step folds the dispatch
+    key with state.step) — params must match bit-exactly."""
+    env = get_env("tsp", num_loc=6)
+    policy = AttentionModelPolicy(env_name="tsp", embed_dim=16,
+                                  num_encoder_layers=1, feedforward_hidden=32,
+                                  num_heads=2)
+    algo = REINFORCE(env=env, policy=policy, baseline="mean",
+                     train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    key = jax.random.PRNGKey(7)
+
+    s1 = algo.init(jax.random.PRNGKey(0))
+    step1 = algo.make_train_step(4, donate=False)
+    for _ in range(4):
+        s1, m1 = step1(s1, key)
+
+    s2 = algo.init(jax.random.PRNGKey(0))
+    step4 = algo.make_train_step(4, donate=False, chunk=4)
+    s2, m4 = step4(s2, key)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert m4["loss"].shape == (4,)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"][-1]))
+
+
+def test_trainer_uses_chunked_dispatch():
+    """Trainer auto-picks a chunk dividing steps_per_epoch and still logs
+    per-step metrics under global step indices."""
+    algo, cfg = tiny_setup(baseline="mean")
+    # steps_per_epoch = 12/4 = 3; log_every=50 → chunk = 3 (one dispatch)
+    records = []
+    trainer = Trainer(algo, cfg, logger=records.append)
+    assert trainer._pick_chunk(3) == 3
+    state = trainer.fit()
+    assert int(state.step) == 3
+    its = [r["it"] for r in records if "it" in r and "loss" in r]
+    assert its == [2]  # one dispatch, logged under its last global step

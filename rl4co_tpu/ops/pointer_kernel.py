@@ -35,13 +35,14 @@ implementation (recompute — the decode step is cheap relative to its memory
 traffic, classic rematerialization trade).
 
 Status (measured on-chip, see ``runs/pointer_kernel_bench.json``): compiles
-and matches XLA numerics at N ∈ {100, 500, 1000} and on the grouped
-multistart shape, but XLA's fused batched einsums are *faster* at every
-product shape (kernel 0.4–0.9×) — the per-instance grid is
-dispatch-overhead-bound at these small per-step working sets. The default
-decode path therefore stays ``pointer_impl="xla"`` on measurement, not on a
-compile failure; the kernel remains the opt-in escape hatch for shapes XLA
-schedules badly.
+and matches XLA numerics at N ∈ {100, 500} and on the grouped multistart
+shape; the round-2 artifact recorded a compile failure at N=1000 (VMEM
+overflow from the block_b≥8 floor, fixed since — block_b now shrinks to 1).
+XLA's fused batched einsums were *faster* at every round-2 product shape
+(kernel 0.4–0.9×) — the per-instance grid is dispatch-overhead-bound at
+these small per-step working sets. The default decode path therefore stays
+``pointer_impl="xla"`` on measurement, not on a compile failure; the kernel
+remains the opt-in escape hatch for shapes XLA schedules badly.
 """
 
 from __future__ import annotations
@@ -180,8 +181,10 @@ def _pallas_forward_single(q, k, v, lk, neg_bias, w_out, num_heads,
                            constant_values=MASK_VALUE)
     nf = n + n_pad
     # shrink the batch block until 3 in + 2 intermediate [bq, N, D] f32
-    # buffers fit comfortably in VMEM
-    while block_b > 8 and 5 * block_b * nf * d * 4 > 10 * 1024 * 1024:
+    # buffers fit comfortably in VMEM (down to 1 — at N=1000/D=128 each
+    # instance's working set is ~2.6 MB, so block_b>3 overflows the ~16 MB
+    # VMEM; ADVICE r2: the old floor of 8 left ~20 MB and failed to compile)
+    while block_b > 1 and 5 * block_b * nf * d * 4 > 10 * 1024 * 1024:
         block_b //= 2
     block_b = min(block_b, b)
     b_pad = (-b) % block_b

@@ -20,7 +20,7 @@ import numpy as np
 from flax import struct
 
 from rl4co_tpu.envs.base import Env, Instance
-from rl4co_tpu.utils.ops import get_tour_length, set_at
+from rl4co_tpu.utils.ops import set_at
 
 MAX_LENGTHS = {20: 2.0, 50: 3.0, 100: 4.0}
 
@@ -156,8 +156,12 @@ class OP(Env):
         locs = np.concatenate(
             [np.asarray(instance["depot"])[None, :], np.asarray(instance["locs"])]
         )
+        # pure numpy: this runs per instance on the host — a jnp call here
+        # costs one device round trip per instance (measured 27 inst/s over
+        # the axon tunnel vs 643 for pctsp's numpy check, VERDICT r2 §7)
         ordered = locs[actions]
-        length = float(get_tour_length(jnp.asarray(ordered)))
+        diffs = ordered - np.roll(ordered, shift=1, axis=0)
+        length = float(np.linalg.norm(diffs, axis=-1).sum())
         assert length <= float(instance["max_length"]) + 1e-4, (
             f"Max length exceeded: {length} > {float(instance['max_length'])}"
         )

@@ -102,7 +102,7 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         kinit, kdata, kval, krun = jax.random.split(key, 4)
 
-        state = self.algo.init(kinit)
+        state = self._init_state(kinit)
         host: dict = {}
 
         # param-count logging (reference `utils/utils.py:131-173`
@@ -238,6 +238,22 @@ class Trainer:
                 break
 
         return state
+
+    def _init_state(self, kinit):
+        """Algorithm init on the in-process CPU backend when the default
+        backend is a remote accelerator: `init` runs dozens of tiny jit
+        programs (param init, optimizer zeros), each costing a round trip
+        on e.g. the axon TPU tunnel (~60 s total measured); on CPU it is
+        ~7 s, then one transfer."""
+        if jax.default_backend() == "cpu":
+            return self.algo.init(kinit)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            return self.algo.init(kinit)
+        with jax.default_device(cpu):
+            state = self.algo.init(kinit)
+        return jax.device_put(state, jax.devices()[0])
 
     def _pick_chunk(self, steps_per_epoch: int) -> int:
         """Largest divisor of steps_per_epoch ≤ the configured dispatch size,

@@ -22,6 +22,9 @@ RUNS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 KNOWN_ANCHORS = {
     ("tsp", 20): 3.84, ("tsp", 50): 5.70, ("tsp", 100): 7.76,
     ("tsp", 500): 16.55, ("cvrp", 50): 10.38,
+    # Kool et al. 2019 appendix: OP-20 optimal prize (maximized),
+    # PCTSP-20 optimal cost
+    ("op", 20): 5.27, ("pctsp", 20): 3.13,
 }
 
 ARTIFACTS = sorted(glob.glob(os.path.join(RUNS, "*.json")))
@@ -47,10 +50,15 @@ def test_artifact_consistency(path):
         anchor = row.get("optimum_anchor", doc.get("optimum_anchor"))
         assert anchor, f"{path}:{name} states a gap but no optimum_anchor"
         gap_key = next(k for k in row if "gap" in k)
-        recomputed = 100.0 * (row["mean_cost"] - anchor) / anchor
+        if "mean_prize" in row:  # maximization env (OP): gap is below-optimum
+            recomputed = 100.0 * (anchor - row["mean_prize"]) / anchor
+            src = f"mean_prize={row['mean_prize']}"
+        else:
+            recomputed = 100.0 * (row["mean_cost"] - anchor) / anchor
+            src = f"mean_cost={row['mean_cost']}"
         assert abs(recomputed - row[gap_key]) < 0.51, (
             f"{path}:{name} gap {row[gap_key]} does not recompute from "
-            f"mean_cost={row['mean_cost']} anchor={anchor} ({recomputed:.2f})")
+            f"{src} anchor={anchor} ({recomputed:.2f})")
         # 2. the anchor must match the known value for the config's size
         cfg = doc.get("recipe", doc.get("config", {}))
         n = cfg.get("num_loc") or cfg.get("num-loc")

@@ -48,6 +48,12 @@ class DecodeSpec:
     # (f32 master params; TPU analog of reference `precision="16-mixed"`,
     # `rl4co/utils/trainer.py:57`). None = compute in the params' own dtype.
     compute_dtype: Optional[str] = None
+    # rematerialize the decode step in the backward pass (jax.checkpoint on
+    # the scan body). Off by default: measured at TSP-50 batch 512 it made
+    # the loss grad *slower* (198 vs 158 ms — the step is overhead-bound,
+    # not residual-bandwidth-bound); the lever exists for large-N decodes
+    # where residuals would not fit HBM.
+    remat: bool = False
 
     def __post_init__(self):
         assert self.kind in ("greedy", "sampling", "evaluate", "beam_search"), self.kind
@@ -150,8 +156,23 @@ def decode_action(
     else:
         raise ValueError(spec.kind)
     action = action.astype(jnp.int32)
-    logprob = jnp.take_along_axis(logprobs, action[:, None], axis=-1)[:, 0]
+    logprob = take_along_last(logprobs, action)
     return action, logprob
+
+
+def take_along_last(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """``values[b, idx[b]]`` as a dense one-hot reduction.
+
+    The backward of ``take_along_axis`` is a [B, A] scatter; inside the
+    per-token decode scan those serialize on TPU (the same pathology as the
+    context-embedding gathers, measured 3.2× on the whole train step). The
+    masked sum reads B×A but its backward is a dense broadcast-select.
+    """
+    hit = (
+        jax.lax.broadcasted_iota(jnp.int32, values.shape, values.ndim - 1)
+        == idx[..., None]
+    )
+    return jnp.where(hit, values, 0.0).sum(axis=-1)
 
 
 def get_log_likelihood(

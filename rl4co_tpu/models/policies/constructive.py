@@ -180,11 +180,9 @@ def rollout_from_cache(
         action, logprob = decode_action(k, logprobs, mask, spec, replay_t)
         if first_actions is not None:
             action = jnp.where(t == 0, first_actions, action)
-            logprob = jnp.where(
-                t == 0,
-                0.0,
-                jnp.take_along_axis(logprobs, action[:, None], axis=-1)[:, 0],
-            )
+            from rl4co_tpu.decoding import take_along_last
+
+            logprob = jnp.where(t == 0, 0.0, take_along_last(logprobs, action))
         # steps after done contribute nothing
         probs = jnp.exp(logprobs)
         step_entropy = -jnp.sum(
@@ -195,8 +193,9 @@ def rollout_from_cache(
         next_state = env.step_batch(state, action)
         return next_state, (action, logprob, step_entropy)
 
+    scan_body = jax.checkpoint(step_fn) if spec.remat else step_fn
     final_state, (actions, logprobs, entropies) = jax.lax.scan(
-        step_fn, state0, (ts, keys, replay)
+        scan_body, state0, (ts, keys, replay)
     )
     actions = jnp.moveaxis(actions, 0, 1)      # [B', T]
     logprobs = jnp.moveaxis(logprobs, 0, 1)    # [B', T]

@@ -77,11 +77,9 @@ def nar_rollout(
         action, logprob = decode_action(k, logprobs, mask, spec, replay_t)
         if first_actions is not None:
             action = jnp.where(t == 0, first_actions, action)
-            logprob = jnp.where(
-                t == 0,
-                0.0,
-                jnp.take_along_axis(logprobs, action[:, None], axis=-1)[:, 0],
-            )
+            from rl4co_tpu.decoding import take_along_last
+
+            logprob = jnp.where(t == 0, 0.0, take_along_last(logprobs, action))
         probs = jnp.exp(logprobs)
         step_entropy = -jnp.sum(jnp.where(probs > 0, probs * logprobs, 0.0), axis=-1)
         logprob = jnp.where(state.done, 0.0, logprob)

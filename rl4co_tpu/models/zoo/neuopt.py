@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rl4co_tpu.decoding import DecodeSpec, decode_action, process_logits
+from rl4co_tpu.decoding import DecodeSpec, decode_action, process_logits, take_along_last
 from rl4co_tpu.models.zoo.n2s_encoder import N2SEncoder
 
 
@@ -138,7 +138,7 @@ def neuopt_act(
         a, logprob = decode_action(keys[i], logprobs, feasible, spec, replay_i)
         if i > 0:
             a = jnp.where(stopped, action_index[:, 0], a)
-            logprob = jnp.take_along_axis(logprobs, a[:, None], axis=-1)[:, 0]
+            logprob = take_along_last(logprobs, a)
             ll = ll + jnp.where(stopped, 0.0, logprob)
         else:
             ll = ll + logprob

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rl4co_tpu.decoding import DecodeSpec, decode_action, process_logits_spec
+from rl4co_tpu.decoding import (DecodeSpec, decode_action,
+                               process_logits_spec, take_along_last)
 from rl4co_tpu.rl.reinforce import TrainState
 
 
@@ -85,7 +86,7 @@ class StepwisePPO:
             logits, value = self.policy.apply(params, states)
             mask = self.env.action_mask_batch(states)
             logprobs = process_logits_spec(logits.astype(jnp.float32), mask, self.train_spec)
-            lp = jnp.take_along_axis(logprobs, actions[:, None], axis=-1)[:, 0]
+            lp = take_along_last(logprobs, actions)
             probs = jnp.exp(logprobs)
             entropy = -jnp.sum(jnp.where(probs > 0, probs * logprobs, 0.0), -1)
             w = valid.astype(jnp.float32)

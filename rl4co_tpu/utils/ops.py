@@ -7,8 +7,58 @@ most reference ops (`batchify`/`unbatchify` expand-view tricks,
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gather_rows(n: int):
+    """[B, N, D] gathered by [B] → [B, D], with a dense backward.
+
+    The natural VJP of a batched row gather is a scatter-add into the
+    [B, N, D] zeros — on TPU that lowers to a serialized dynamic-update
+    chain, and it sits on the decode hot path (context embeddings gather
+    current/first node per token). The transpose here is the one-hot
+    outer product ``d_src[b] = onehot(idx[b]) ⊗ g[b]`` — a dense VPU
+    broadcast-multiply XLA fuses into the surrounding backward."""
+
+    @jax.custom_vjp
+    def gather(src, idx):
+        return jax.vmap(lambda s, i: s[i])(src, idx)
+
+    def fwd(src, idx):
+        return gather(src, idx), idx
+
+    def bwd(idx, g):
+        onehot = jax.nn.one_hot(idx, n, dtype=g.dtype)  # [B, N]
+        return onehot[:, :, None] * g[:, None, :], None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gather_rows_k(n: int):
+    """[B, N, D] gathered by [B, K] → [B, K, D] with a matmul backward
+    (``d_src = onehotᵀ @ g`` rides the MXU instead of a K-deep scatter).
+    The grouped-multistart decode (POMO: K starts share one instance's
+    cache) gathers through this branch every token."""
+
+    @jax.custom_vjp
+    def gather(src, idx):
+        return jax.vmap(lambda s, i: s[i])(src, idx)
+
+    def fwd(src, idx):
+        return gather(src, idx), idx
+
+    def bwd(idx, g):
+        onehot = jax.nn.one_hot(idx, n, dtype=g.dtype)      # [B, K, N]
+        return jnp.einsum("bkn,bkd->bnd", onehot, g), None
+
+    gather.defvjp(fwd, bwd)
+    return gather
 
 
 def gather_by_index(src: jax.Array, idx: jax.Array, axis: int = -2) -> jax.Array:
@@ -25,9 +75,9 @@ def gather_by_index(src: jax.Array, idx: jax.Array, axis: int = -2) -> jax.Array
     if src.ndim == 2 and idx.ndim == 0:
         return src[idx]
     if src.ndim == 3 and idx.ndim == 1:
-        return jax.vmap(lambda s, i: s[i])(src, idx)
+        return _make_gather_rows(src.shape[-2])(src, idx)
     if src.ndim == 3 and idx.ndim == 2:
-        return jax.vmap(lambda s, i: s[i])(src, idx)
+        return _make_gather_rows_k(src.shape[-2])(src, idx)
     raise ValueError(f"Unsupported shapes src={src.shape} idx={idx.shape}")
 
 

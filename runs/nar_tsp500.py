@@ -60,7 +60,15 @@ def main():
                    n_ants_eval=args.n_ants, n_iterations_eval=10,
                    use_local_search=args.local_search)
     key = jax.random.PRNGKey(1234)
-    state = algo.init(key)
+    # init's many tiny jits on the in-process CPU backend (axon tunnel
+    # charges a round trip per program — ~60s of wall measured)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            state = algo.init(key)
+        state = jax.device_put(state, jax.devices()[0])
+    except RuntimeError:
+        state = algo.init(key)
     # untrained snapshot for the ablation row (host copy — the jitted train
     # step donates its input state, which would invalidate these buffers)
     params0 = jax.device_get(state.params)

@@ -104,6 +104,69 @@ class TensorBoardLogger:
         self._auto_step = max(self._auto_step + 1, step + 1)
 
 
+class MLflowFileLogger:
+    """MLflow *file-store* adapter (reference `configs/logger/mlflow.yaml`)
+    with no mlflow dependency: writes the `mlruns/` directory layout the
+    MLflow UI reads natively — `meta.yaml` per experiment/run, one
+    `metrics/<name>` file of ``timestamp value step`` lines, `params/<name>`
+    files for non-numeric entries."""
+
+    def __init__(self, root: str = "mlruns", experiment: str = "rl4co-tpu",
+                 run_name: Optional[str] = None):
+        import uuid
+
+        self.exp_id = "0"
+        self.run_id = uuid.uuid4().hex
+        self.run_dir = os.path.join(root, self.exp_id, self.run_id)
+        os.makedirs(os.path.join(self.run_dir, "metrics"), exist_ok=True)
+        os.makedirs(os.path.join(self.run_dir, "params"), exist_ok=True)
+        exp_meta = os.path.join(root, self.exp_id, "meta.yaml")
+        if not os.path.exists(exp_meta):
+            with open(exp_meta, "w") as f:
+                f.write(
+                    f"artifact_location: {os.path.abspath(root)}/{self.exp_id}\n"
+                    f"experiment_id: '{self.exp_id}'\n"
+                    f"lifecycle_stage: active\nname: {experiment}\n"
+                )
+        now_ms = int(time.time() * 1000)
+        with open(os.path.join(self.run_dir, "meta.yaml"), "w") as f:
+            f.write(
+                f"artifact_uri: {os.path.abspath(self.run_dir)}/artifacts\n"
+                f"end_time: null\nentry_point_name: ''\n"
+                f"experiment_id: '{self.exp_id}'\nlifecycle_stage: active\n"
+                f"run_id: {self.run_id}\nrun_name: {run_name or self.run_id[:8]}\n"
+                f"run_uuid: {self.run_id}\nsource_name: ''\nsource_type: 4\n"
+                f"source_version: ''\nstart_time: {now_ms}\nstatus: 1\n"
+                f"tags: []\nuser_id: {os.environ.get('USER', 'rl4co')}\n"
+            )
+        self._step = 0
+
+    @staticmethod
+    def _safe(name: str) -> str:
+        return name.replace("/", "-").replace(" ", "_")
+
+    def __call__(self, metrics: dict) -> None:
+        step = metrics.get("step", metrics.get("it", self._step))
+        try:
+            step = int(step)
+        except (TypeError, ValueError):
+            step = self._step
+        now_ms = int(time.time() * 1000)
+        for k, v in metrics.items():
+            try:
+                val = float(v)
+            except (TypeError, ValueError):
+                # non-numeric → param file (last write wins, like mlflow)
+                with open(os.path.join(self.run_dir, "params",
+                                       self._safe(k)), "w") as f:
+                    f.write(str(v))
+                continue
+            with open(os.path.join(self.run_dir, "metrics",
+                                   self._safe(k)), "a") as f:
+                f.write(f"{now_ms} {val} {step}\n")
+        self._step = max(self._step + 1, step + 1)
+
+
 class MultiLogger:
     def __init__(self, *loggers):
         self.loggers = loggers

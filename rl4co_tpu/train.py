@@ -254,6 +254,8 @@ def main(argv: Optional[list] = None):
     p.add_argument("--log-file", default=None, help="JSONL metrics file")
     p.add_argument("--tensorboard", default=None, metavar="LOGDIR",
                    help="also write TensorBoard event files to LOGDIR")
+    p.add_argument("--mlflow", default=None, metavar="MLRUNS_DIR",
+                   help="also write an MLflow file-store run (mlruns layout)")
     p.add_argument("--ckpt-dir", default=None,
                    help="save best (val/reward max) + last checkpoints here")
     p.add_argument("--resume-from", default=None,
@@ -295,14 +297,18 @@ def main(argv: Optional[list] = None):
         mesh = make_mesh(dp=args.dp if args.dp > 1 else n_dev)
         print(f"Data-parallel mesh: dp={mesh.shape['dp']} over {n_dev} devices")
     logger = None
-    if args.log_file or args.tensorboard:
-        from rl4co_tpu.loggers import JSONLLogger, MultiLogger, TensorBoardLogger
+    if args.log_file or args.tensorboard or args.mlflow:
+        from rl4co_tpu.loggers import (JSONLLogger, MLflowFileLogger,
+                                       MultiLogger, TensorBoardLogger)
 
         parts = [lambda m: print(json.dumps({k: str(v) for k, v in m.items()}))]
         if args.log_file:
             parts.append(JSONLLogger(args.log_file))
         if args.tensorboard:
             parts.append(TensorBoardLogger(args.tensorboard))
+        if args.mlflow:
+            parts.append(MLflowFileLogger(root=args.mlflow,
+                                          run_name=f"{args.model}-{args.env}"))
         logger = MultiLogger(*parts)
     print(f"Workload: {spec}")
     algo, trainer = build(spec, mesh=mesh, logger=logger)

@@ -41,3 +41,22 @@ def test_tensorboard_logger_writes_events(tmp_path):
     assert "loss" in acc.Tags()["scalars"]
     vals = [s.value for s in acc.Scalars("loss")]
     assert vals == [2.0, 1.0]
+
+
+def test_mlflow_file_logger_layout(tmp_path):
+    """MLflowFileLogger writes the mlruns file-store layout the MLflow UI
+    reads: experiment/run meta.yaml, `timestamp value step` metric lines,
+    param files for non-numeric values."""
+    from rl4co_tpu.loggers import MLflowFileLogger
+
+    lg = MLflowFileLogger(root=str(tmp_path / "mlruns"), run_name="t")
+    lg({"loss": 1.5, "it": 3, "note": "hello"})
+    lg({"loss": 1.25, "it": 4})
+    run_dir = tmp_path / "mlruns" / "0" / lg.run_id
+    assert (tmp_path / "mlruns" / "0" / "meta.yaml").exists()
+    assert (run_dir / "meta.yaml").exists()
+    lines = (run_dir / "metrics" / "loss").read_text().strip().splitlines()
+    assert len(lines) == 2
+    ts, val, step = lines[1].split()
+    assert float(val) == 1.25 and int(step) == 4
+    assert (run_dir / "params" / "note").read_text() == "hello"

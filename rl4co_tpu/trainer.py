@@ -99,8 +99,17 @@ class Trainer:
         """
         cfg = self.config
         env = self.algo.env
-        key = jax.random.PRNGKey(cfg.seed)
-        kinit, kdata, kval, krun = jax.random.split(key, 4)
+        # Derive the seed keys on the host CPU backend and hold them as
+        # uncommitted numpy values: feeding an accelerator-resident key into
+        # the CPU-backend init (or vice versa) forces a cross-backend
+        # transfer that deadlocks on the axon TPU tunnel (round-3 stack:
+        # `_array_shard_arg` inside the very first `random.split`). Numpy
+        # keys transfer h2d transparently wherever they are first used.
+        with jax.default_device(self._cpu_device() or jax.devices()[0]):
+            key = jax.random.PRNGKey(cfg.seed)
+            kinit, kdata, kval, krun = (
+                np.asarray(k) for k in jax.random.split(key, 4)
+            )
 
         state = self._init_state(kinit)
         host: dict = {}
@@ -239,17 +248,23 @@ class Trainer:
 
         return state
 
+    @staticmethod
+    def _cpu_device():
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+
     def _init_state(self, kinit):
         """Algorithm init on the in-process CPU backend when the default
         backend is a remote accelerator: `init` runs dozens of tiny jit
         programs (param init, optimizer zeros), each costing a round trip
         on e.g. the axon TPU tunnel (~60 s total measured); on CPU it is
-        ~7 s, then one transfer."""
-        if jax.default_backend() == "cpu":
-            return self.algo.init(kinit)
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
+        ~7 s, then one transfer. ``kinit`` must be host-resident (numpy) —
+        an accelerator-committed key would force a cross-backend transfer
+        that deadlocks the axon tunnel."""
+        cpu = self._cpu_device()
+        if jax.default_backend() == "cpu" or cpu is None:
             return self.algo.init(kinit)
         with jax.default_device(cpu):
             state = self.algo.init(kinit)

@@ -43,7 +43,9 @@ def bench_rollout(env, policy, params, batch, iters, key, num_starts=0):
     def fwd(params, instances, k):
         return rollout(policy, params, env, instances, k, spec).reward
 
-    instances = env.generate_batch(key, batch)
+    with jax.default_device(jax.devices("cpu")[0]):
+        instances = env.generate_batch(key, batch)
+    instances = jax.device_put(instances, jax.devices()[0])
     r = fwd(params, instances, key)
     np.asarray(r)  # compile + sync (axon: block_until_ready doesn't block)
     t0 = time.perf_counter()
@@ -76,7 +78,11 @@ def main():
         row = {}
         for impl in ("xla", "pallas"):
             policy = AttentionModelPolicy(env_name="tsp", pointer_impl=impl)
-            params = init_policy_params(policy, env, key)
+            # init on the in-process CPU backend (tunnel charges a round
+            # trip per tiny jit program)
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = init_policy_params(policy, env, key)
+            params = jax.device_put(params, jax.devices()[0])
             try:
                 dt, r = bench_rollout(env, policy, params, batch,
                                       args.iters, jax.random.fold_in(key, n),

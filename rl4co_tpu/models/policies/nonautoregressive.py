@@ -22,18 +22,22 @@ from rl4co_tpu.decoding import (
 )
 from rl4co_tpu.envs.base import Env
 from rl4co_tpu.models.policies.constructive import RolloutOutput, select_best
-from rl4co_tpu.utils.ops import batchify
+from rl4co_tpu.utils.ops import batchify, gather_by_index
 
 
 def heatmap_row_logits(heatmap_logits: jax.Array, current_node: jax.Array, num_repeats: int):
-    """heatmap [B, N, N], current_node flat [R*B] (repeat-major) -> [R*B, N]."""
+    """heatmap [B, N, N], current_node flat [R*B] (repeat-major) -> [R*B, N].
+
+    Routed through `gather_by_index` for its dense-matmul backward: the
+    heatmap is the *trained* tensor (DeepACO/GFACS differentiate through
+    this gather every decode token), and the naive vmapped-gather VJP is a
+    serialized scatter-add on TPU (round-3 finding, 7x on the AR step)."""
     b = heatmap_logits.shape[0]
     if num_repeats == 1:
-        return jax.vmap(lambda h, c: h[c])(heatmap_logits, current_node)
+        return gather_by_index(heatmap_logits, current_node)       # [B, N]
     cur = current_node.reshape(num_repeats, b)
-    gather_b = jax.vmap(lambda h, c: h[c])  # per-instance row gather
-    rows = jax.vmap(lambda c: gather_b(heatmap_logits, c))(cur)  # [R, B, N]
-    return rows.reshape(num_repeats * b, -1)
+    rows_bk = gather_by_index(heatmap_logits, cur.T)               # [B, R, N]
+    return jnp.moveaxis(rows_bk, 0, 1).reshape(num_repeats * b, -1)
 
 
 def nar_rollout(

@@ -1,6 +1,8 @@
 #!/bin/bash
 # Round-3 TPU job queue: runs after the AM TSP-50 quality run completes.
-# One TPU job at a time (the axon tunnel wedges under concurrent clients).
+# One TPU job at a time (the axon tunnel wedges under concurrent clients);
+# ~60s cooldown between jobs (server drains the previous session).
+# Short, high-value jobs first so an end-of-round cutoff costs least.
 set -u
 cd /root/repo
 
@@ -8,41 +10,39 @@ AM_PID=$(cat runs/am_tsp50_r3.pid | sed 's/pid=//')
 echo "[queue] waiting for AM run pid=$AM_PID"
 while kill -0 "$AM_PID" 2>/dev/null; do sleep 20; done
 # a killed run must not trigger the queue: require a completed-run
-# artifact NEWER than this run's launch (train_quality writes the eval
-# json only after the final eval; the round-2 file predates the pid file)
+# artifact NEWER than this run's launch
 if [ ! runs/am_tsp50_eval.json -nt runs/am_tsp50_r3.pid ]; then
   echo "[queue] AM pid gone but no fresh eval artifact — aborting queue $(date)"
   exit 1
 fi
-# let the tunnel drain the dead client's work before dialing again
 sleep 60
 echo "[queue] AM run done at $(date)"
 
-echo "[queue] POMO CVRP-50 start $(date)"
-timeout 4500 python runs/train_quality.py --preset pomo_cvrp50 --epochs 100 \
-    --val-size 512 --max-hours 1.0 > runs/pomo_cvrp50_r3.log 2>&1
-echo "[queue] POMO done rc=$? $(date)"
-
 echo "[queue] NAR TSP-500 start $(date)"
-timeout 2400 python runs/nar_tsp500.py --max-hours 0.25 \
+timeout 2100 python runs/nar_tsp500.py --max-hours 0.25 \
     > runs/nar_tsp500_r3.log 2>&1
-echo "[queue] NAR done rc=$? $(date)"
+echo "[queue] NAR done rc=$? $(date)"; sleep 60
 
 for preset in mixed_op_pctsp op20_single pctsp20_single; do
   echo "[queue] $preset start $(date)"
   timeout 1500 python runs/train_quality.py --preset "$preset" --epochs 4 \
       --val-size 1000 > "runs/${preset}_r3.log" 2>&1
-  echo "[queue] $preset done rc=$? $(date)"
+  echo "[queue] $preset done rc=$? $(date)"; sleep 60
 done
 
 echo "[queue] pointer kernel bench start $(date)"
-timeout 1800 python runs/bench_pointer_kernel.py > runs/kernel_bench_r3.log 2>&1
-echo "[queue] kernel bench done rc=$? $(date)"
+timeout 1500 python runs/bench_pointer_kernel.py > runs/kernel_bench_r3.log 2>&1
+echo "[queue] kernel bench done rc=$? $(date)"; sleep 60
 
 echo "[queue] TSP-1000 eval start $(date)"
 timeout 900 python -m rl4co_tpu.tasks.eval_cli --problem tsp --num-loc 1000 \
     --method greedy --size 128 --batch-size 32 \
     > runs/tsp1000_eval_raw.json 2> runs/tsp1000_eval.log
-echo "[queue] tsp1000 done rc=$? $(date)"
+echo "[queue] tsp1000 done rc=$? $(date)"; sleep 60
+
+echo "[queue] POMO CVRP-50 start $(date)"
+timeout 4200 python runs/train_quality.py --preset pomo_cvrp50 --epochs 100 \
+    --val-size 512 --max-hours 0.85 > runs/pomo_cvrp50_r3.log 2>&1
+echo "[queue] POMO done rc=$? $(date)"
 
 echo "[queue] ALL DONE $(date)"

@@ -181,6 +181,11 @@ class RolloutBaseline(Baseline):
             return state, host
         cand = np.asarray(rollout_fn(params, host["eval_instances"]))
         base = host.get("eval_rewards")
+        if base is not None and np.shape(base) != cand.shape:
+            # resumed with a different held-out-set size: the restored
+            # incumbent rewards belong to other instances — restart the
+            # incumbent from the current params instead of crashing
+            base = None
         if base is None:
             return (
                 state.replace(bl_params=_copy_pytree(params)),

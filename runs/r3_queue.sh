@@ -19,30 +19,30 @@ sleep 60
 echo "[queue] AM run done at $(date)"
 
 echo "[queue] NAR TSP-500 start $(date)"
-timeout 2100 python runs/nar_tsp500.py --max-hours 0.25 \
+timeout 2100 python runs/nar_tsp500.py --max-hours 0.2 \
     > runs/nar_tsp500_r3.log 2>&1
 echo "[queue] NAR done rc=$? $(date)"; sleep 60
 
-for preset in mixed_op_pctsp op20_single pctsp20_single; do
-  echo "[queue] $preset start $(date)"
-  timeout 1500 python runs/train_quality.py --preset "$preset" --epochs 4 \
-      --val-size 1000 > "runs/${preset}_r3.log" 2>&1
-  echo "[queue] $preset done rc=$? $(date)"; sleep 60
-done
+echo "[queue] POMO CVRP-50 start $(date)"
+timeout 3000 python runs/train_quality.py --preset pomo_cvrp50 --epochs 100 \
+    --val-size 512 --max-hours 0.55 > runs/pomo_cvrp50_r3.log 2>&1
+echo "[queue] POMO done rc=$? $(date)"; sleep 60
 
 echo "[queue] pointer kernel bench start $(date)"
 timeout 1500 python runs/bench_pointer_kernel.py > runs/kernel_bench_r3.log 2>&1
 echo "[queue] kernel bench done rc=$? $(date)"; sleep 60
+
+for preset in mixed_op_pctsp op20_single pctsp20_single; do
+  echo "[queue] $preset start $(date)"
+  timeout 1200 python runs/train_quality.py --preset "$preset" --epochs 4 \
+      --val-size 1000 > "runs/${preset}_r3.log" 2>&1
+  echo "[queue] $preset done rc=$? $(date)"; sleep 60
+done
 
 echo "[queue] TSP-1000 eval start $(date)"
 timeout 900 python -m rl4co_tpu.tasks.eval_cli --problem tsp --num-loc 1000 \
     --method greedy --size 128 --batch-size 32 \
     > runs/tsp1000_eval_raw.json 2> runs/tsp1000_eval.log
 echo "[queue] tsp1000 done rc=$? $(date)"; sleep 60
-
-echo "[queue] POMO CVRP-50 start $(date)"
-timeout 4200 python runs/train_quality.py --preset pomo_cvrp50 --epochs 100 \
-    --val-size 512 --max-hours 0.85 > runs/pomo_cvrp50_r3.log 2>&1
-echo "[queue] POMO done rc=$? $(date)"
 
 echo "[queue] ALL DONE $(date)"

@@ -25,7 +25,7 @@ from rl4co_tpu.decoding import DecodeSpec, decode_action, process_logits_spec
 from rl4co_tpu.models.nn.ops import MLP, Normalization
 from rl4co_tpu.models.policies.constructive import RolloutOutput
 from rl4co_tpu.rl.reinforce import TrainState
-from rl4co_tpu.utils.ops import mark_where_in
+from rl4co_tpu.utils.ops import mark_where_in, gather_by_index
 
 
 class HetGNNLayer(nn.Module):
@@ -285,10 +285,10 @@ class L2DAttnPolicy(nn.Module):
         b = ma_emb.shape[0]
         q = ma_emb + self.proj_busy(self._busy_for(state))  # [B, M, D]
 
-        idx = state.next_op[..., None]  # [B, J, 1]
-        k = jnp.take_along_axis(cache["k"], idx, axis=1)
-        v = jnp.take_along_axis(cache["v"], idx, axis=1)
-        lk = jnp.take_along_axis(cache["lk"], idx, axis=1)
+        # dense-backward gathers (stepwise-PPO differentiates through these)
+        k = gather_by_index(cache["k"], state.next_op)
+        v = gather_by_index(cache["v"], state.next_op)
+        lk = gather_by_index(cache["lk"], state.next_op)
         dk, dv, dl = self.dynamic_embedding(state, ma_emb, lbs, is_ready)
         k, v, lk = k + dk, v + dv, lk + dl
         lk = jnp.concatenate(

@@ -21,6 +21,7 @@ from rl4co_tpu.envs.routing.pdp_ruin_repair import reinsertion_mask
 from rl4co_tpu.models.nn.attention import MultiHeadCompat
 from rl4co_tpu.models.nn.ops import MLP
 from rl4co_tpu.models.zoo.n2s_encoder import N2SEncoder
+from rl4co_tpu.utils.ops import gather_by_index
 
 
 class NodePairRemovalDecoder(nn.Module):
@@ -46,9 +47,11 @@ class NodePairRemovalDecoder(nn.Module):
 
         q = heads("W_Q")
         k = heads("W_K")
-        gather = lambda x, idx: jnp.take_along_axis(
-            x, idx[:, :, None, None].repeat(hn, 2).repeat(hd, 3), axis=1
-        )
+        # dense-backward gather (scatter-add VJPs serialize on TPU;
+        # this decoder runs inside the n-step PPO segment scan)
+        gather = lambda x, idx: gather_by_index(
+            x.reshape(b, gs, d), idx
+        ).reshape(b, gs, hn, hd)
         q_pre = gather(q, pre)
         k_post = gather(k, post)
         compat = (
@@ -79,14 +82,11 @@ class NodePairReinsertionDecoder(nn.Module):
         b, gs, d = h.shape
         hn = self.num_heads
         half = gs // 2
-        bidx = jnp.arange(b)
         pos_pickup = 1 + action_removal
         pos_delivery = pos_pickup + half
-        h_pickup = h[bidx, pos_pickup][:, None, :]
-        h_delivery = h[bidx, pos_delivery][:, None, :]
-        h_k_neighbour = jnp.take_along_axis(
-            h, state.rec_current[:, :, None].repeat(d, 2), axis=1
-        )
+        h_pickup = gather_by_index(h, pos_pickup)[:, None, :]
+        h_delivery = gather_by_index(h, pos_delivery)[:, None, :]
+        h_k_neighbour = gather_by_index(h, state.rec_current)
         c1 = MultiHeadCompat(self.embed_dim, hn, name="compater_insert1")
         c2 = MultiHeadCompat(self.embed_dim, hn, name="compater_insert2")
         pick_pre = jnp.moveaxis(c1(h_pickup, h)[:, :, 0, :], 0, -1)      # [B, gs, H]

@@ -52,3 +52,29 @@ def constrain_dp(tree, mesh: Optional[Mesh]):
     if mesh is None:
         return tree
     return jax.lax.with_sharding_constraint(tree, NamedSharding(mesh, P("dp")))
+
+
+def shard_params_model_axis(params, mesh: Mesh, min_dim: int = 128):
+    """Tensor-parallel parameter placement over the ``model`` axis (GSPMD).
+
+    Shards every 2-D dense kernel whose *output* features divide the
+    ``model`` axis size and are ≥ ``min_dim`` (the encoder FFN/projection
+    matmuls — where AM-XL-scale memory goes) column-wise over ``model``;
+    everything else is replicated. XLA propagates the shardings through the
+    matmuls and inserts the (reduce-)scatter/all-gather collectives — the
+    megatron pattern without hand-written collectives. With ``model=1``
+    this is exactly :func:`replicate`.
+    """
+    m = mesh.shape["model"]
+
+    def place(x):
+        if (
+            m > 1
+            and getattr(x, "ndim", 0) == 2
+            and x.shape[1] % m == 0
+            and x.shape[1] >= min_dim
+        ):
+            return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, params)

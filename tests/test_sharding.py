@@ -136,3 +136,35 @@ def test_scaling_proxy_dp_counts():
         step = algo.make_train_step(16, mesh=mesh, donate=False)
         state, metrics = step(state, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"])), dp
+
+
+def test_model_axis_sharding_matches_replicated():
+    """Column-sharding dense kernels over the `model` axis (GSPMD tensor
+    parallelism, `shard_params_model_axis`) must not change the math:
+    train-step loss equals the dp-only replicated run up to reduction-order
+    float noise."""
+    from rl4co_tpu.parallel.mesh import shard_params_model_axis
+
+    algo = make_algo()
+    key = jax.random.PRNGKey(1)
+
+    mesh_dp = make_mesh(devices=jax.devices()[:4], dp=4, model=1)
+    s1 = replicate(algo.init(jax.random.PRNGKey(0)), mesh_dp)
+    step1 = algo.make_train_step(16, mesh=mesh_dp, donate=False)
+    _, m1 = step1(s1, key)
+
+    mesh_2d = make_mesh(devices=jax.devices()[:4], dp=2, model=2)
+    s2 = replicate(algo.init(jax.random.PRNGKey(0)), mesh_2d)
+    s2 = s2.replace(params=shard_params_model_axis(s2.params, mesh_2d,
+                                                   min_dim=8))
+    # at least one kernel must actually be sharded over `model`
+    sharded = [
+        x for x in jax.tree_util.tree_leaves(s2.params)
+        if getattr(x, "ndim", 0) == 2
+        and "model" in str(x.sharding.spec)
+    ]
+    assert sharded, "no kernel picked up the model-axis sharding"
+    step2 = algo.make_train_step(16, mesh=mesh_2d, donate=False)
+    _, m2 = step2(s2, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3, atol=1e-4)

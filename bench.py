@@ -47,7 +47,8 @@ NUM_STARTS = 100
 NUM_LOC = 100
 ITERS = 10
 TRAIN_BATCH = 512
-TRAIN_ITERS = 10
+TRAIN_CHUNK = 10       # steps fused per dispatch (lax.scan superstep)
+TRAIN_DISPATCHES = 3
 
 # Hard per-phase wall-clock budgets (compile + run). The driver's overall
 # budget is ~10 min; keep rollout + train + overhead safely inside it.
@@ -126,21 +127,20 @@ def bench_train_step():
     with jax.default_device(cpu):
         state = algo.init(jax.random.PRNGKey(0))
     state = jax.device_put(state, jax.devices()[0])
-    step = algo.make_train_step(TRAIN_BATCH)
+    # Chained dispatch (one jit call scans TRAIN_CHUNK steps — the
+    # production Trainer path): amortizes the tunnel's per-dispatch round
+    # trip, and the per-dispatch fetch serializes the tunnel (queued
+    # donated executions deadlock it — round-3 postmortem).
+    step = algo.make_train_step(TRAIN_BATCH, chunk=TRAIN_CHUNK)
     key = jax.random.PRNGKey(3)
     state, m = step(state, key)  # compile + warmup
     np.asarray(m["loss"])
-    # Fetch the loss every iteration: queueing many in-flight *donated*
-    # executions deadlocks the axon tunnel (round-3 postmortem — the
-    # no-fetch loop hung >6 min twice while the fetch-per-step loop ran
-    # in 0.34 s/step). The fetch RTT is part of the measured time; the
-    # steady-state step is ~0.3 s so the distortion is small.
     t0 = time.perf_counter()
-    for i in range(TRAIN_ITERS):
-        state, m = step(state, jax.random.fold_in(key, i))
+    for i in range(TRAIN_DISPATCHES):
+        state, m = step(state, key)
         np.asarray(m["loss"])
     dt = time.perf_counter() - t0
-    return TRAIN_BATCH * NUM_LOC * TRAIN_ITERS / dt
+    return TRAIN_BATCH * NUM_LOC * TRAIN_CHUNK * TRAIN_DISPATCHES / dt
 
 
 def _run_phase(name, deadline):

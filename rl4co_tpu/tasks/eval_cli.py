@@ -38,7 +38,15 @@ def main(argv=None):
         embed_dim=args.embed_dim,
         num_encoder_layers=args.num_encoder_layers,
     )
-    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    # init's many tiny jits on the in-process CPU backend (remote-tunnel
+    # backends charge a round trip per program)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+        params = jax.device_put(params, jax.devices()[0])
+    except RuntimeError:
+        params = init_policy_params(policy, env, jax.random.PRNGKey(0))
     if args.ckpt_path:
         from rl4co_tpu.checkpoint import restore_checkpoint
         from rl4co_tpu.rl.reinforce import REINFORCE

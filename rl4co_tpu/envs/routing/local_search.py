@@ -9,21 +9,51 @@ DeepACO/GFACS can run neural local search inside the jitted ACO loop
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rl4co_tpu.utils.ops import get_tour_length
 
+_HOST_CB_SUPPORTED: bool | None = None
+
 
 def host_callbacks_supported() -> bool:
     """Whether the active JAX backend can run host callbacks inside jit.
 
-    The axon TPU PJRT tunnel (this image's TPU path) rejects host send/recv
-    callbacks (``jax.pure_callback`` raises UNIMPLEMENTED at run time), so
-    in-loop neural local search must fall back to host-side polishing there.
+    The axon TPU PJRT tunnel rejects host send/recv callbacks
+    (``jax.pure_callback`` raises UNIMPLEMENTED at *run* time) — but it
+    registers under the ordinary ``tpu`` platform name, so no string check
+    can identify it (round-3 finding: the old ``platform != "axon"`` guard
+    always passed and the NAR eval crashed on-chip). Detection: the tunnel's
+    ``PALLAS_AXON_POOL_IPS`` env marker, else a one-time jitted
+    pure_callback probe (cached per process).
     """
-    return jax.devices()[0].platform not in ("axon",)
+    global _HOST_CB_SUPPORTED
+    if _HOST_CB_SUPPORTED is None:
+        if jax.default_backend() == "cpu":
+            _HOST_CB_SUPPORTED = True
+        elif os.environ.get("PALLAS_AXON_POOL_IPS"):
+            _HOST_CB_SUPPORTED = False
+        else:
+            _HOST_CB_SUPPORTED = _probe_host_callback()
+    return _HOST_CB_SUPPORTED
+
+
+def _probe_host_callback() -> bool:
+    try:
+        out = jax.jit(
+            lambda x: jax.pure_callback(
+                lambda y: np.asarray(y) + np.float32(1.0),
+                jax.ShapeDtypeStruct((), jnp.float32),
+                x,
+            )
+        )(jnp.float32(1.0))
+        return float(out) == 2.0
+    except Exception:
+        return False
 
 
 def tsp_local_search(locs: np.ndarray, tours: np.ndarray, max_iterations: int = 1000):

@@ -100,7 +100,9 @@ def main():
     # inside jit there. Fall back to a host-side 2-opt polish of the best-ant
     # tours after the jitted pheromone loop (weaker than in-loop NLS — no
     # pheromone feedback — but the same native kernel).
-    callbacks_ok = (jax.devices()[0].platform not in ("axon",)
+    from rl4co_tpu.envs.routing.local_search import host_callbacks_supported
+
+    callbacks_ok = (host_callbacks_supported()
                     and not os.environ.get("NAR_FORCE_HOST_LS"))
     ls_fn = algo._local_search_fn() if callbacks_ok else None
     host_ls = args.local_search and not callbacks_ok

@@ -116,3 +116,26 @@ def test_deepaco_nls_improves():
     r_plain = plain.make_eval_step()(state.params, val, jax.random.PRNGKey(2))
     r_nls = nls.make_eval_step()(state.params, val, jax.random.PRNGKey(2))
     assert float(r_nls["reward"]) >= float(r_plain["reward"]) - 1e-6
+
+
+def test_host_callback_detection_logic(monkeypatch):
+    """The axon tunnel registers as plain 'tpu' (no string identifies it);
+    detection must use the PALLAS_AXON_POOL_IPS marker, else the runtime
+    probe (round-3: the old platform-string guard always passed and in-jit
+    LS crashed on-chip)."""
+    import rl4co_tpu.envs.routing.local_search as ls
+
+    monkeypatch.setattr(ls, "_HOST_CB_SUPPORTED", None)
+    monkeypatch.setattr(ls.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert ls.host_callbacks_supported() is False
+
+    monkeypatch.setattr(ls, "_HOST_CB_SUPPORTED", None)
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
+    monkeypatch.setattr(ls, "_probe_host_callback", lambda: True)
+    assert ls.host_callbacks_supported() is True
+
+    # cpu backend always supports callbacks (no probe, no env dependence)
+    monkeypatch.setattr(ls, "_HOST_CB_SUPPORTED", None)
+    monkeypatch.setattr(ls.jax, "default_backend", lambda: "cpu")
+    assert ls.host_callbacks_supported() is True

@@ -32,7 +32,7 @@ echo "[queue] NAR done rc=$? $(date)"; sleep 60
 can_start || { echo "[queue] cutoff reached, skipping remaining"; exit 0; }
 echo "[queue] POMO CVRP-50 start $(date)"
 timeout 3000 python runs/train_quality.py --preset pomo_cvrp50 --epochs 100 \
-    --val-size 512 --max-hours 0.55 > runs/pomo_cvrp50_r3.log 2>&1
+    --val-size 512 --max-hours 0.4 > runs/pomo_cvrp50_r3.log 2>&1
 echo "[queue] POMO done rc=$? $(date)"; sleep 60
 
 can_start || { echo "[queue] cutoff reached, skipping remaining"; exit 0; }

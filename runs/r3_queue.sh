@@ -30,15 +30,15 @@ timeout 2100 python runs/nar_tsp500.py --max-hours 0.2 \
 echo "[queue] NAR done rc=$? $(date)"; sleep 60
 
 can_start || { echo "[queue] cutoff reached, skipping remaining"; exit 0; }
+echo "[queue] pointer kernel bench start $(date)"
+timeout 1500 python runs/bench_pointer_kernel.py > runs/kernel_bench_r3.log 2>&1
+echo "[queue] kernel bench done rc=$? $(date)"; sleep 60
+
+can_start || { echo "[queue] cutoff reached, skipping remaining"; exit 0; }
 echo "[queue] POMO CVRP-50 start $(date)"
 timeout 3000 python runs/train_quality.py --preset pomo_cvrp50 --epochs 100 \
     --val-size 512 --max-hours 0.4 > runs/pomo_cvrp50_r3.log 2>&1
 echo "[queue] POMO done rc=$? $(date)"; sleep 60
-
-can_start || { echo "[queue] cutoff reached, skipping remaining"; exit 0; }
-echo "[queue] pointer kernel bench start $(date)"
-timeout 1500 python runs/bench_pointer_kernel.py > runs/kernel_bench_r3.log 2>&1
-echo "[queue] kernel bench done rc=$? $(date)"; sleep 60
 
 for preset in mixed_op_pctsp op20_single pctsp20_single; do
   can_start || { echo "[queue] cutoff reached"; exit 0; }

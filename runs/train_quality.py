@@ -205,9 +205,10 @@ def main(argv=None):
     )
     trainer = Trainer(algo, cfg, logger=logger)
     t0 = time.time()
-    state = trainer.fit(
-        resume_from=os.path.join(ckpt_dir, "last") if args.resume else None
-    )
+    resume_from = os.path.join(ckpt_dir, "last")
+    if not (args.resume and os.path.isdir(resume_from)):
+        resume_from = None  # --resume on a fresh preset = start from scratch
+    state = trainer.fit(resume_from=resume_from)
     train_h = (time.time() - t0) / 3600
 
     # ---- final eval: reference protocol, validity-checked ----

@@ -34,15 +34,19 @@ Forward = Pallas; backward = ``jax.vjp`` of the identical jnp reference
 implementation (recompute — the decode step is cheap relative to its memory
 traffic, classic rematerialization trade).
 
-Status (measured on-chip, see ``runs/pointer_kernel_bench.json``): compiles
-and matches XLA numerics at N ∈ {100, 500} and on the grouped multistart
-shape; the round-2 artifact recorded a compile failure at N=1000 (VMEM
-overflow from the block_b≥8 floor, fixed since — block_b now shrinks to 1).
-XLA's fused batched einsums were *faster* at every round-2 product shape
-(kernel 0.4–0.9×) — the per-instance grid is dispatch-overhead-bound at
-these small per-step working sets. The default decode path therefore stays
-``pointer_impl="xla"`` on measurement, not on a compile failure; the kernel
-remains the opt-in escape hatch for shapes XLA schedules badly.
+Status — RETIRED as a perf path (round-3 on-chip re-bench,
+``runs/pointer_kernel_bench.json``): numerics match XLA at N ∈ {100, 500}
+and the grouped multistart shape, but XLA's fused batched einsums win every
+product shape (pallas 0.93x at tsp100, 0.34x at tsp500, 0.90x at
+tsp100x100 starts). At N=1000 the single-query kernel cannot compile at
+all: VMEM forces block_b ≤ 3 while Mosaic requires the sublane dim to be a
+multiple of 8 — fixing that means blocking over N with an online softmax,
+i.e. a flash-attention rewrite whose upside is bounded by XLA's existing
+3x lead at N=500. The pointer step is too small and bandwidth-light for a
+hand kernel to beat the XLA fusion pipeline on this hardware; the decisive
+round-3 optimization was elsewhere (dense-backward gathers, 7x on the
+train step). The kernel stays as an opt-in (`pointer_impl="pallas"`)
+reference implementation and Pallas exemplar, default remains "xla".
 """
 
 from __future__ import annotations

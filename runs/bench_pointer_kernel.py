@@ -76,13 +76,17 @@ def main():
     for label, n, batch, starts in cases:
         env = get_env("tsp", num_loc=n)
         row = {}
+        # params are impl-independent (pointer_impl changes the kernel,
+        # not the parameters); init once on the CPU backend with the XLA
+        # variant — tracing the pallas variant under a CPU default_device
+        # would hit pallas' CPU lowering (interpret-only)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_policy_params(
+                AttentionModelPolicy(env_name="tsp", pointer_impl="xla"),
+                env, key)
+        params = jax.device_put(params, jax.devices()[0])
         for impl in ("xla", "pallas"):
             policy = AttentionModelPolicy(env_name="tsp", pointer_impl=impl)
-            # init on the in-process CPU backend (tunnel charges a round
-            # trip per tiny jit program)
-            with jax.default_device(jax.devices("cpu")[0]):
-                params = init_policy_params(policy, env, key)
-            params = jax.device_put(params, jax.devices()[0])
             try:
                 dt, r = bench_rollout(env, policy, params, batch,
                                       args.iters, jax.random.fold_in(key, n),

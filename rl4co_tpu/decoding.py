@@ -167,6 +167,13 @@ def take_along_last(values: jax.Array, idx: jax.Array) -> jax.Array:
     per-token decode scan those serialize on TPU (the same pathology as the
     context-embedding gathers, measured 3.2× on the whole train step). The
     masked sum reads B×A but its backward is a dense broadcast-select.
+
+    Out-of-range semantics differ from ``take_along_axis``: XLA *clamps*
+    OOB gather indices to a valid row, whereas the one-hot match here hits
+    nothing, so an OOB/sentinel index (e.g. -1 padding) silently returns
+    ``0.0`` with zero gradient. All in-tree callers pass in-range actions;
+    callers introducing sentinel indices must mask the result themselves
+    (a 0.0 logprob is a *probability-1* action — not a safe default).
     """
     hit = (
         jax.lax.broadcasted_iota(jnp.int32, values.shape, values.ndim - 1)

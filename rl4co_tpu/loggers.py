@@ -128,18 +128,29 @@ class MLflowFileLogger:
                     f"experiment_id: '{self.exp_id}'\n"
                     f"lifecycle_stage: active\nname: {experiment}\n"
                 )
-        now_ms = int(time.time() * 1000)
+        self._run_name = run_name or self.run_id[:8]
+        self._start_ms = int(time.time() * 1000)
+        self._write_meta(status=1, end_time="null")  # RUNNING
+        self._step = 0
+
+    def _write_meta(self, status: int, end_time) -> None:
         with open(os.path.join(self.run_dir, "meta.yaml"), "w") as f:
             f.write(
                 f"artifact_uri: {os.path.abspath(self.run_dir)}/artifacts\n"
-                f"end_time: null\nentry_point_name: ''\n"
+                f"end_time: {end_time}\nentry_point_name: ''\n"
                 f"experiment_id: '{self.exp_id}'\nlifecycle_stage: active\n"
-                f"run_id: {self.run_id}\nrun_name: {run_name or self.run_id[:8]}\n"
+                f"run_id: {self.run_id}\nrun_name: {self._run_name}\n"
                 f"run_uuid: {self.run_id}\nsource_name: ''\nsource_type: 4\n"
-                f"source_version: ''\nstart_time: {now_ms}\nstatus: 1\n"
+                f"source_version: ''\nstart_time: {self._start_ms}\n"
+                f"status: {status}\n"
                 f"tags: []\nuser_id: {os.environ.get('USER', 'rl4co')}\n"
             )
-        self._step = 0
+
+    def finalize(self) -> None:
+        """Mark the run FINISHED (status 3 + end_time) so the MLflow UI does
+        not show it as eternally running. Called by MultiLogger.finalize /
+        Trainer.fit teardown; idempotent."""
+        self._write_meta(status=3, end_time=int(time.time() * 1000))
 
     @staticmethod
     def _safe(name: str) -> str:
@@ -167,6 +178,95 @@ class MLflowFileLogger:
         self._step = max(self._step + 1, step + 1)
 
 
+class NeptuneLogger:
+    """Neptune adapter (reference `configs/logger/neptune.yaml`). The
+    `neptune` package is not on this image, so the import is guarded and the
+    logger degrades to a no-op; with the package installed, each numeric
+    metric is appended to the run's series of the same name."""
+
+    def __init__(self, project: Optional[str] = None, **kwargs):
+        try:
+            import neptune  # type: ignore
+
+            self.run = neptune.init_run(project=project, **kwargs)
+        except Exception:
+            self.run = None
+
+    def __call__(self, metrics: dict) -> None:
+        if self.run is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self.run[k].append(float(v))
+            except (TypeError, ValueError):
+                self.run[k] = str(v)
+
+    def finalize(self) -> None:
+        if self.run is not None:
+            self.run.stop()
+
+
+class CometLogger:
+    """Comet ML adapter (reference `configs/logger/comet.yaml`); guarded
+    import, no-op without the `comet_ml` package."""
+
+    def __init__(self, project_name: str = "rl4co-tpu", **kwargs):
+        try:
+            import comet_ml  # type: ignore
+
+            self.exp = comet_ml.Experiment(project_name=project_name, **kwargs)
+        except Exception:
+            self.exp = None
+
+    def __call__(self, metrics: dict) -> None:
+        if self.exp is None:
+            return
+        step = metrics.get("step", metrics.get("it"))
+        numeric = {}
+        for k, v in metrics.items():
+            try:
+                numeric[k] = float(v)
+            except (TypeError, ValueError):
+                self.exp.log_parameter(k, str(v))
+        if numeric:
+            try:
+                self.exp.log_metrics(numeric, step=int(step) if step is not None else None)
+            except (TypeError, ValueError):
+                self.exp.log_metrics(numeric)
+
+    def finalize(self) -> None:
+        if self.exp is not None:
+            self.exp.end()
+
+
+class AimLogger:
+    """Aim adapter (reference `configs/logger/aim.yaml`); guarded import,
+    no-op without the `aim` package."""
+
+    def __init__(self, repo: Optional[str] = None, experiment: str = "rl4co-tpu"):
+        try:
+            import aim  # type: ignore
+
+            self.run = aim.Run(repo=repo, experiment=experiment)
+        except Exception:
+            self.run = None
+
+    def __call__(self, metrics: dict) -> None:
+        if self.run is None:
+            return
+        step = metrics.get("step", metrics.get("it"))
+        for k, v in metrics.items():
+            try:
+                self.run.track(float(v), name=k,
+                               step=int(step) if step is not None else None)
+            except (TypeError, ValueError):
+                self.run[k] = str(v)
+
+    def finalize(self) -> None:
+        if self.run is not None:
+            self.run.close()
+
+
 class MultiLogger:
     def __init__(self, *loggers):
         self.loggers = loggers
@@ -174,3 +274,11 @@ class MultiLogger:
     def __call__(self, metrics: dict) -> None:
         for lg in self.loggers:
             lg(metrics)
+
+    def finalize(self) -> None:
+        """Fan out to every child logger exposing finalize/close (MLflow
+        FINISHED status, neptune/comet/aim run teardown)."""
+        for lg in self.loggers:
+            fin = getattr(lg, "finalize", None) or getattr(lg, "close", None)
+            if callable(fin):
+                fin()

@@ -184,13 +184,22 @@ def _pallas_forward_single(q, k, v, lk, neg_bias, w_out, num_heads,
         neg_bias = jnp.pad(neg_bias, ((0, 0), (0, n_pad)),
                            constant_values=MASK_VALUE)
     nf = n + n_pad
-    # shrink the batch block until 3 in + 2 intermediate [bq, N, D] f32
-    # buffers fit comfortably in VMEM (down to 1 — at N=1000/D=128 each
-    # instance's working set is ~2.6 MB, so block_b>3 overflows the ~16 MB
-    # VMEM; ADVICE r2: the old floor of 8 left ~20 MB and failed to compile)
-    while block_b > 1 and 5 * block_b * nf * d * 4 > 10 * 1024 * 1024:
+    # Shrink the batch block until 3 in + 2 intermediate [bq, N, D] f32
+    # buffers fit in VMEM — but no lower than 8: Mosaic requires the sublane
+    # dimension to be a multiple of 8, so block sizes 1–7 do not compile
+    # (ADVICE r3: the relaxed floor of 1 could never deliver the N=1000
+    # configs it was loosened for). Fail fast with the actual VMEM math
+    # instead of letting Mosaic emit an opaque layout error.
+    while block_b > 8 and 5 * block_b * nf * d * 4 > 10 * 1024 * 1024:
         block_b //= 2
-    block_b = min(block_b, b)
+    if 5 * 8 * nf * d * 4 > 10 * 1024 * 1024:
+        raise ValueError(
+            f"pointer kernel: N={n} (padded {nf}) x D={d} needs "
+            f"{5 * 8 * nf * d * 4 / 2**20:.1f} MB VMEM at the minimum "
+            "Mosaic-legal block_b=8 (>10 MB budget); this shape cannot be "
+            "blocked by this kernel — use the default XLA path."
+        )
+    block_b = max(8, min(block_b, b))
     b_pad = (-b) % block_b
     if b_pad:
         q = jnp.pad(q, ((0, b_pad), (0, 0)))

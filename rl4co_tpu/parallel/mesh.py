@@ -54,27 +54,40 @@ def constrain_dp(tree, mesh: Optional[Mesh]):
     return jax.lax.with_sharding_constraint(tree, NamedSharding(mesh, P("dp")))
 
 
+# Path fragments of the *second* matmul of a megatron pair: its input
+# features are already model-sharded by the first matmul, so row-sharding it
+# lets GSPMD keep the intermediate sharded and emit ONE reduce per block
+# instead of an all-gather between every pair of matmuls (ADVICE r3).
+_ROW_SHARDED = ("ffn']['Dense_1", "mha']['out_proj")
+# (The first matmul of each pair — FFN up-projection, fused QKV — falls
+# under the generic column-shard rule below, splitting the wide
+# intermediate across `model`.)
+
+
 def shard_params_model_axis(params, mesh: Mesh, min_dim: int = 128):
     """Tensor-parallel parameter placement over the ``model`` axis (GSPMD).
 
-    Shards every 2-D dense kernel whose *output* features divide the
-    ``model`` axis size and are ≥ ``min_dim`` (the encoder FFN/projection
-    matmuls — where AM-XL-scale memory goes) column-wise over ``model``;
-    everything else is replicated. XLA propagates the shardings through the
-    matmuls and inserts the (reduce-)scatter/all-gather collectives — the
-    megatron pattern without hand-written collectives. With ``model=1``
-    this is exactly :func:`replicate`.
+    Megatron-style paired sharding of the encoder blocks: the first matmul
+    of each pair (FFN up-projection, fused QKV) is column-sharded
+    ``P(None, 'model')`` and the second (FFN down-projection, attention
+    out-projection) row-sharded ``P('model', None)``, so the intermediate
+    activations stay sharded and each block needs a single reduction
+    rather than an all-gather per matmul. Remaining 2-D kernels with
+    ≥ ``min_dim`` output features divisible by ``model`` are column-sharded;
+    everything else replicated. XLA/GSPMD propagates the shardings and
+    inserts the collectives — no hand-written psum. With ``model=1`` this
+    is exactly :func:`replicate`.
     """
     m = mesh.shape["model"]
 
-    def place(x):
-        if (
-            m > 1
-            and getattr(x, "ndim", 0) == 2
-            and x.shape[1] % m == 0
-            and x.shape[1] >= min_dim
-        ):
-            return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+    def place(path, x):
+        if m > 1 and getattr(x, "ndim", 0) == 2:
+            name = jax.tree_util.keystr(path)
+            if (any(f in name for f in _ROW_SHARDED)
+                    and x.shape[0] % m == 0 and x.shape[0] >= min_dim):
+                return jax.device_put(x, NamedSharding(mesh, P("model", None)))
+            if x.shape[1] % m == 0 and x.shape[1] >= min_dim:
+                return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map(place, params)
+    return jax.tree_util.tree_map_with_path(place, params)

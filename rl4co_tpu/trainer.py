@@ -246,6 +246,10 @@ class Trainer:
                              "max_hours": cfg.max_hours})
                 break
 
+        # logger teardown (MLflow FINISHED status, remote-backend run close)
+        fin = getattr(self.logger, "finalize", None)
+        if callable(fin):
+            fin()
         return state
 
     @staticmethod
@@ -265,9 +269,24 @@ class Trainer:
         that deadlocks the axon tunnel."""
         cpu = self._cpu_device()
         if jax.default_backend() == "cpu" or cpu is None:
-            return self.algo.init(kinit)
-        with jax.default_device(cpu):
             state = self.algo.init(kinit)
+        else:
+            with jax.default_device(cpu):
+                state = self.algo.init(kinit)
+        # Place the state where the train step expects it. With a mesh, the
+        # jitted step applies `with_sharding_constraint` over that mesh; a
+        # state committed to device 0 alone would make the first dispatch
+        # raise "Received incompatible devices for jitted computation", so
+        # replicate over all mesh devices instead (params are replicated in
+        # the dp design; model-axis sharding is applied by the step itself).
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                state, NamedSharding(self.mesh, PartitionSpec())
+            )
+        if jax.default_backend() == "cpu" or cpu is None:
+            return state
         return jax.device_put(state, jax.devices()[0])
 
     def _pick_chunk(self, steps_per_epoch: int) -> int:

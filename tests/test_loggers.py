@@ -60,3 +60,57 @@ def test_mlflow_file_logger_layout(tmp_path):
     ts, val, step = lines[1].split()
     assert float(val) == 1.25 and int(step) == 4
     assert (run_dir / "params" / "note").read_text() == "hello"
+
+
+def test_mlflow_finalize_marks_finished(tmp_path):
+    """finalize() rewrites meta.yaml with status 3 (FINISHED) + end_time so
+    the MLflow UI stops showing the run as eternally running (ADVICE r3)."""
+    from rl4co_tpu.loggers import MLflowFileLogger, MultiLogger
+
+    lg = MLflowFileLogger(root=str(tmp_path / "mlruns"), run_name="t")
+    lg({"loss": 1.0})
+    meta = (tmp_path / "mlruns" / "0" / lg.run_id / "meta.yaml")
+    assert "status: 1" in meta.read_text()
+    MultiLogger(lg).finalize()
+    text = meta.read_text()
+    assert "status: 3" in text and "end_time: null" not in text
+
+
+def test_import_guarded_remote_loggers_noop():
+    """neptune/comet/aim adapters (reference `configs/logger/*.yaml`) must
+    degrade to no-ops when their packages are absent from the image."""
+    from rl4co_tpu.loggers import AimLogger, CometLogger, NeptuneLogger
+
+    for cls in (NeptuneLogger, CometLogger, AimLogger):
+        lg = cls()
+        lg({"loss": 1.0, "step": 1})  # must not raise
+        lg.finalize()
+
+
+def test_megatron_paired_sharding(tmp_path):
+    """FFN down-projection / attention out-projection kernels are
+    row-sharded P('model', None) so each encoder block needs one reduction
+    instead of an all-gather per matmul (ADVICE r3)."""
+    import jax
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    from rl4co_tpu.envs import get_env
+    from rl4co_tpu.models import AttentionModelPolicy
+    from rl4co_tpu.models.policies.constructive import init_policy_params
+    from rl4co_tpu.parallel.mesh import make_mesh, shard_params_model_axis
+
+    env = get_env("tsp", num_loc=8)
+    policy = AttentionModelPolicy(env_name="tsp", embed_dim=16,
+                                  num_encoder_layers=1, feedforward_hidden=32,
+                                  num_heads=2, normalization="instance")
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    mesh = make_mesh(devices=jax.devices()[:4], dp=2, model=2)
+    sharded = shard_params_model_axis(params, mesh, min_dim=8)
+    flat, _ = tree_flatten_with_path(sharded)
+    specs = {keystr(p): str(x.sharding.spec) for p, x in flat
+             if getattr(x, "ndim", 0) == 2}
+    row = [k for k, s in specs.items() if s.startswith("PartitionSpec('model'")]
+    col = [k for k, s in specs.items() if "None, 'model'" in s]
+    assert any("Dense_1" in k for k in row), specs
+    assert any("out_proj" in k for k in row), specs
+    assert any("Dense_0" in k for k in col), specs

@@ -33,31 +33,49 @@ import subprocess
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+# Durable in-repo compile cache (VERDICT r3 #2: /tmp was cold in the
+# driver's capture window two rounds running). A priming `python bench.py`
+# late in the round leaves both phases' executables here for the driver.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, "runs", "jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
-# ESTIMATE of the reference's A100 throughput on the rollout protocol
-# (~150k env-steps/s: its Python decode loop re-launches kernels per token).
-# No measured reference number exists (BASELINE.md: "published": {}).
+# ESTIMATE of the reference's A100 throughput: no measured number exists
+# (BASELINE.md: "published": {}; torch stack absent here). Derivation —
+# documented in BASELINE.md "A100 denominator" — anchors on Kool et al.
+# 2019 (the method the reference implements): 27:32 min/epoch for TSP-100
+# at 1.28M samples/epoch on a single 1080Ti = 77.5k env-steps/s; an A100
+# with modern torch is credited 2x on this kernel-launch-bound Python
+# decode loop (per-token kernel launches dominate, so the 10x raw-FLOPs
+# gap does not materialize) -> ~150k env-steps/s.
 A100_ESTIMATE_ENV_STEPS_PER_S = 150_000.0
 
-BATCH = 256
-NUM_STARTS = 100
-NUM_LOC = 100
-ITERS = 10
-TRAIN_BATCH = 512
-TRAIN_CHUNK = 10       # steps fused per dispatch (lax.scan superstep)
-TRAIN_DISPATCHES = 3
+# (overridable via RL4CO_BENCH_* for CPU smoke tests of the harness itself)
+BATCH = int(os.environ.get("RL4CO_BENCH_BATCH", 256))
+NUM_STARTS = int(os.environ.get("RL4CO_BENCH_STARTS", 100))
+NUM_LOC = int(os.environ.get("RL4CO_BENCH_NUM_LOC", 100))
+ITERS = int(os.environ.get("RL4CO_BENCH_ITERS", 10))
+TRAIN_BATCH = int(os.environ.get("RL4CO_BENCH_TRAIN_BATCH", 512))
+# Steps fused per dispatch (lax.scan superstep). 125 matches the production
+# Trainer's in-epoch regime (steps_per_epoch=2500, log_every=200 -> largest
+# divisor 125); round-3 measured 46 ms/step at chunk=10 (dispatch-bound on
+# the axon tunnel) vs 19 ms/step in-epoch — the chunk, not the model, was
+# the gap (VERDICT r3 weak #1).
+TRAIN_CHUNK = int(os.environ.get("RL4CO_BENCH_TRAIN_CHUNK", 125))
+TRAIN_DISPATCHES = int(os.environ.get("RL4CO_BENCH_TRAIN_DISPATCHES", 2))
 
 # Hard per-phase wall-clock budgets (compile + run). The driver's overall
 # budget is ~10 min; keep rollout + train + overhead safely inside it.
 # Phases share a deadline: a fast rollout phase donates its leftover budget
 # to the train phase (the axon tunnel's compile latency varies 5-10x
 # between healthy and loaded windows — round-3 measurements: 65 s to
-# 280 s for the identical program).
+# 280 s for the identical program). The rollout phase gets the bigger
+# slice: it is the BASELINE.json headline metric and was the one eaten by
+# cold compiles in rounds 2-3; a warm rerun of either phase is <30 s.
 TOTAL_BUDGET_S = 560.0
-PHASE_BUDGET_S = {"rollout": 300.0, "train": 280.0}
+PHASE_BUDGET_S = {"rollout": 420.0, "train": 420.0}
 
 
 def bench_rollout():

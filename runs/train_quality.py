@@ -46,7 +46,8 @@ if ROOT not in sys.path:
 
 # Persistent compilation cache: TSP-50-scale train steps take minutes to
 # compile on the TPU; cache hits make reruns/resumes start instantly.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(ROOT, "runs", "jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 

@@ -150,6 +150,25 @@ def evaluate_policy(
                     one = jax.tree_util.tree_map(lambda x: x[i], inst)
                     env.check_solution_validity(one, acts[i])
 
+    # Warm the jit before the timed region so `inference_time` /
+    # `instances_per_s` measure steady-state throughput, not compile
+    # (VERDICT r3 weak #5: a 234 s vs 19 s asymmetry between identical
+    # protocols was first-call compile landing in the timing fields).
+    # One batch of the same padded shape is executed and discarded; its
+    # wall time is reported separately as `warmup_s`.
+    def _warm_rows(x):
+        x = jnp.asarray(x[:batch_size])
+        if x.shape[0] < batch_size:  # tile up for tiny instance sets
+            reps = -(-batch_size // x.shape[0])
+            x = jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:batch_size]
+        return x
+
+    warm = jax.tree_util.tree_map(_warm_rows, instances)
+    t_warm = time.perf_counter()
+    r_warm = run_batch(params, warm, jax.random.fold_in(key, 0))[0]
+    np.asarray(r_warm)  # fetch: on the axon tunnel block_until_ready no-ops
+    warmup_s = time.perf_counter() - t_warm
+
     t0 = time.perf_counter()
     for start in range(0, n - batch_size + 1, batch_size):
         batch = jax.tree_util.tree_map(
@@ -162,8 +181,11 @@ def evaluate_policy(
     if done_n < n:
         tail = n - done_n
         batch = jax.tree_util.tree_map(
-            lambda x: jnp.concatenate(
-                [jnp.asarray(x[done_n:]), jnp.asarray(x[:batch_size - tail])], axis=0
+            lambda x: _warm_rows(
+                jnp.concatenate(
+                    [jnp.asarray(x[done_n:]), jnp.asarray(x[:batch_size - tail])],
+                    axis=0,
+                )
             ),
             instances,
         )
@@ -176,6 +198,7 @@ def evaluate_policy(
         "mean_reward": float(rewards.mean()),
         "inference_time": dt,
         "instances_per_s": n / dt,
+        "warmup_s": warmup_s,  # compile + first dispatch, excluded from dt
         "method": method,
     }
     if return_actions:

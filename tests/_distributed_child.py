@@ -12,6 +12,7 @@ not just threads of one client. Usage:
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -53,11 +54,15 @@ def main():
     state = replicate(algo.init(jax.random.PRNGKey(0)), mesh)
     step = algo.make_train_step(16, mesh=mesh, donate=False)
 
+    n_steps = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     records = []
-    for i in range(2):
+    for i in range(n_steps):
+        t0 = time.perf_counter()
         state, m = step(state, jax.random.PRNGKey(42 + i))
         # metrics are fully-replicated global scalars -> addressable anywhere
-        records.append({"loss": float(m["loss"]), "reward": float(m["reward"])})
+        loss, reward = float(m["loss"]), float(m["reward"])  # fetch = sync
+        records.append({"loss": loss, "reward": reward,
+                        "step_s": time.perf_counter() - t0})
 
     with open(out_path, "w") as f:
         json.dump({"process": proc_id, "num_devices": jax.device_count(),

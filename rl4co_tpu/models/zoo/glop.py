@@ -96,10 +96,20 @@ class GLOP:
             # cheapest insertion, then rotate so segment starts at 0;
             # endpoints handled by evaluation (closed-loop SHPP objective)
             return batched_random_insertion(seg_locs, key)
+        # Normalize each segment to the unit square (uniform scale, so the
+        # optimal order is preserved): at N=1000 a segment occupies a tiny
+        # local patch, while the reviser is trained on [0,1]^2 SHPP
+        # instances (reference GLOP's coordinate transformation,
+        # `glop/policy.py` revision preprocessing).
+        lo = seg_locs.min(axis=1, keepdims=True)
+        scale = (seg_locs.max(axis=1, keepdims=True) - lo).max(
+            axis=-1, keepdims=True
+        )
+        seg_norm = (seg_locs - lo) / jnp.maximum(scale, 1e-9)
         env = SHPP(num_loc=l)
         out = rollout(
             self.subsolver_policy, self.subsolver_params, env,
-            {"locs": seg_locs}, key, DecodeSpec(kind="greedy", tanh_clipping=10.0),
+            {"locs": seg_norm}, key, DecodeSpec(kind="greedy", tanh_clipping=10.0),
         )
         return out.actions[:, :l]
 

@@ -21,7 +21,7 @@ RUNS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # Table 2 for N=500) — any artifact claiming a gap must use the right one.
 KNOWN_ANCHORS = {
     ("tsp", 20): 3.84, ("tsp", 50): 5.70, ("tsp", 100): 7.76,
-    ("tsp", 500): 16.55, ("cvrp", 50): 10.38,
+    ("tsp", 500): 16.55, ("tsp", 1000): 23.12, ("cvrp", 50): 10.38,
     # Kool et al. 2019 appendix: OP-20 optimal prize (maximized),
     # PCTSP-20 optimal cost
     ("op", 20): 5.27, ("pctsp", 20): 3.13,

@@ -26,7 +26,8 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(ROOT, "runs", "jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
@@ -116,6 +117,14 @@ def main():
         return acts, best_reward
 
     test = env.generate_batch(jax.random.PRNGKey(4321), args.eval_size)
+    # Warm the eval jit OUTSIDE the timed rows: round-3's artifact carried a
+    # 234 s untrained vs 19 s trained asymmetry that was first-call compile
+    # landing in whichever row ran first (VERDICT r3 weak #5 / #7).
+    warm_chunk = jax.tree.map(lambda x: x[: args.eval_batch], test)
+    t_w = time.perf_counter()
+    np.asarray(aco_eval(state.params, warm_chunk, key)[1])
+    warmup_s = round(time.perf_counter() - t_w, 1)
+    print(json.dumps({"eval_warmup_s": warmup_s}), flush=True)
     table = {}
     for label, params in (("trained", state.params), ("untrained", params0)):
         costs = []
@@ -170,6 +179,7 @@ def main():
                 "local_search_mode": ("in_loop" if ls_fn
                                       else "host_polish" if host_ls else "off")},
         "optimum_anchor": OPT_ANCHORS.get(args.num_loc),
+        "eval_warmup_s": warmup_s,
         "device": str(jax.devices()[0]),
         "eval": table,
         "trained_beats_untrained": trained_helps,

@@ -1,0 +1,87 @@
+#!/bin/bash
+# Round-4 TPU job queue: runs after the POMO CVRP-50 watchdog exits.
+# Jobs in VERDICT-priority order, each under the stall watchdog with an
+# ABSOLUTE deadline so a late POMO finish squeezes later jobs instead of
+# overrunning the round (the driver needs the tunnel free at the end).
+set -u
+cd /root/repo
+
+POMO_PID=$(sed 's/.*pid=//' runs/pomo_cvrp50_r4.pid)
+echo "[queue] waiting for POMO watchdog pid=$POMO_PID ($(date))"
+while kill -0 "$POMO_PID" 2>/dev/null; do sleep 30; done
+echo "[queue] POMO done at $(date); 75s tunnel cooldown"
+sleep 75
+
+now() { date +%s; }
+# Hard ceiling: everything must be off the tunnel by FINAL_END (driver
+# bench + final commits need the rest of the round).
+FINAL_END=${FINAL_END:-$(date -d "14:55" +%s)}
+
+run_job() { # name deadline_epoch staleness cmd...
+  local name="$1" deadline="$2" stale="$3"; shift 3
+  if [ $(( deadline - $(now) )) -lt 300 ]; then
+    echo "[queue] SKIP $name — <5 min before its deadline ($(date))"
+    return 0
+  fi
+  [ "$deadline" -gt "$FINAL_END" ] && deadline=$FINAL_END
+  echo "[queue] START $name until $(date -d @$deadline +%H:%M) ($(date))"
+  bash runs/watchdog.sh "runs/${name}_r4.log" "$stale" "$deadline" -- "$@"
+  echo "[queue] DONE $name rc=$? ($(date)); 75s cooldown"
+  sleep 75
+}
+
+# 1. AM-XL TSP-100 (VERDICT #4): ~105 s/epoch; 0.95 h ≈ 33 epochs,
+#    checkpointed for round-5 resume, eval on the full 10k protocol.
+AMXL_END=$(( $(now) + 5400 ))
+run_job amxl_tsp100 "$AMXL_END" 420 \
+  python runs/train_quality.py --preset amxl_tsp100 --epochs 100 --resume \
+    --val-size 1024 --eval-size 10000 --max-hours 0.95
+
+# 2. Mixed OP+PCTSP re-train + fresh eval (VERDICT #5) — confirms the OP
+#    eval fix on-chip and gives the mixed row of the 3-row table.
+MIXED_END=$(( $(now) + 2700 ))
+run_job mixed_op_pctsp "$MIXED_END" 420 \
+  python runs/train_quality.py --preset mixed_op_pctsp --epochs 100 --resume \
+    --val-size 512 --eval-size 2000 --max-hours 0.5
+
+# matched per-env budgets: controls train the SAME epoch count the mixed
+# run achieved (mixed splits 640k samples/epoch across two envs = 320k
+# per env per epoch; controls train 320k/epoch of their one env).
+E=$(python - <<'EOF'
+import json
+try:
+    print(json.load(open("runs/mixed_op_pctsp_eval.json"))["epochs_trained"])
+except Exception:
+    print(20)
+EOF
+)
+echo "[queue] mixed epochs_trained=$E -> controls --epochs $E"
+
+OP_END=$(( $(now) + 1800 ))
+run_job op20_single "$OP_END" 420 \
+  python runs/train_quality.py --preset op20_single --epochs "$E" --resume \
+    --val-size 512 --eval-size 2000 --max-hours 0.4
+
+PCTSP_END=$(( $(now) + 1800 ))
+run_job pctsp20_single "$PCTSP_END" 420 \
+  python runs/train_quality.py --preset pctsp20_single --epochs "$E" --resume \
+    --val-size 512 --eval-size 2000 --max-hours 0.4
+
+# 3. NAR TSP-500 re-emit with warm eval timing (VERDICT #7).
+NAR_END=$(( $(now) + 1500 ))
+run_job nar_tsp500 "$NAR_END" 420 \
+  python runs/nar_tsp500.py --max-hours 0.12
+
+# 4. GLOP at TSP-1000 with a learned SHPP-25 reviser (VERDICT #6).
+GLOP_END=$(( $(now) + 2100 ))
+run_job glop_tsp1000 "$GLOP_END" 420 \
+  python runs/glop_tsp1000.py --reviser-epochs 3
+
+# 5. Prime the bench compile cache in the driver's exact environment
+#    (VERDICT #2): run bench.py to completion at least once.
+BENCH_END=$(( $(now) + 1200 ))
+run_job bench_prime "$BENCH_END" 500 \
+  python bench.py
+
+echo "[queue] ALL DONE $(date)"
+touch runs/r4_queue.ALLDONE

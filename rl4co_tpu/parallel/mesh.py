@@ -81,13 +81,25 @@ def shard_params_model_axis(params, mesh: Mesh, min_dim: int = 128):
     m = mesh.shape["model"]
 
     def place(path, x):
-        if m > 1 and getattr(x, "ndim", 0) == 2:
+        nd = getattr(x, "ndim", 0)
+        if m > 1 and nd >= 1:
             name = jax.tree_util.keystr(path)
-            if (any(f in name for f in _ROW_SHARDED)
-                    and x.shape[0] % m == 0 and x.shape[0] >= min_dim):
-                return jax.device_put(x, NamedSharding(mesh, P("model", None)))
-            if x.shape[1] % m == 0 and x.shape[1] >= min_dim:
-                return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+            # Expert parallelism: MoE expert params carry a leading expert
+            # axis (nn.vmap variable_axes, `models/nn/moe.py`); sharding it
+            # over `model` runs each device's expert slice on all tokens and
+            # GSPMD psums the gate-weighted mix — EP without dispatch code
+            # (the reference's in-process MoE has no expert sharding at all,
+            # SURVEY §2.10).
+            if ("experts']" in name and x.shape[0] % m == 0):
+                return jax.device_put(
+                    x, NamedSharding(mesh, P(*(("model",) + (None,) * (nd - 1))))
+                )
+            if nd == 2:
+                if (any(f in name for f in _ROW_SHARDED)
+                        and x.shape[0] % m == 0 and x.shape[0] >= min_dim):
+                    return jax.device_put(x, NamedSharding(mesh, P("model", None)))
+                if x.shape[1] % m == 0 and x.shape[1] >= min_dim:
+                    return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(place, params)

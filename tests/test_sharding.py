@@ -190,3 +190,40 @@ def test_trainer_fit_on_mesh():
     # state came back mesh-placed, not single-device
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_expert_parallel_moe_matches_replicated():
+    """MoE expert params (leading expert axis) shard over `model` (expert
+    parallelism — beyond the reference, whose MoE is in-process only,
+    SURVEY §2.10): train-step loss must equal the replicated dp-only run."""
+    from rl4co_tpu.models.zoo.mvmoe import MVMoEPolicy
+    from rl4co_tpu.parallel.mesh import shard_params_model_axis
+
+    env = get_env("tsp", num_loc=8)
+    policy = MVMoEPolicy(env_name="tsp", embed_dim=16, num_encoder_layers=1,
+                         feedforward_hidden=32, num_heads=2,
+                         normalization="instance", num_experts=4, moe_topk=2)
+    algo = REINFORCE(env=env, policy=policy, baseline="mean",
+                     train_spec=DecodeSpec(kind="sampling", tanh_clipping=10.0))
+    key = jax.random.PRNGKey(1)
+
+    mesh_dp = make_mesh(devices=jax.devices()[:4], dp=4, model=1)
+    s1 = replicate(algo.init(jax.random.PRNGKey(0)), mesh_dp)
+    _, m1 = algo.make_train_step(16, mesh=mesh_dp, donate=False)(s1, key)
+
+    mesh_2d = make_mesh(devices=jax.devices()[:4], dp=2, model=2)
+    s2 = algo.init(jax.random.PRNGKey(0))
+    s2 = replicate(s2, mesh_2d)
+    s2 = s2.replace(params=shard_params_model_axis(s2.params, mesh_2d,
+                                                   min_dim=8))
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    flat, _ = tree_flatten_with_path(s2.params)
+    expert_sharded = [
+        keystr(p) for p, x in flat
+        if "experts']" in keystr(p) and "model" in str(x.sharding.spec)
+    ]
+    assert expert_sharded, "no expert param picked up the model-axis sharding"
+    _, m2 = algo.make_train_step(16, mesh=mesh_2d, donate=False)(s2, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3, atol=1e-4)

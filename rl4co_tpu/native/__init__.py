@@ -43,6 +43,11 @@ def get_lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.batched_two_opt_nl.restype = None
+    lib.batched_two_opt_nl.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     lib.batched_cvrp_local_search.restype = None
     lib.batched_cvrp_local_search.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -75,6 +80,26 @@ def batched_two_opt(
     b, n = out.shape
     nt = num_threads or min(os.cpu_count() or 1, 32)
     get_lib().batched_two_opt(_f32ptr(locs), _i32ptr(out), b, n, max_iterations, nt)
+    return out
+
+
+def batched_two_opt_nl(
+    locs: np.ndarray, tours: np.ndarray,
+    k: int = 12, max_passes: int = 200, num_threads: int | None = None,
+) -> np.ndarray:
+    """Neighbor-list 2-opt + Or-opt (first improvement, don't-look bits) —
+    the large-N kernel: O(N·k) per pass vs the plain kernel's O(N²) scan
+    per applied move. Same contract as :func:`batched_two_opt`.
+
+    locs: [B, N, 2] float32; tours: [B, N] int32 visiting order.
+    """
+    locs = np.ascontiguousarray(locs, dtype=np.float32)
+    out = np.ascontiguousarray(tours, dtype=np.int32).copy()
+    b, n = out.shape
+    nt = num_threads or min(os.cpu_count() or 1, 32)
+    get_lib().batched_two_opt_nl(
+        _f32ptr(locs), _i32ptr(out), b, n, k, max_passes, nt
+    )
     return out
 
 

@@ -70,6 +70,169 @@ void two_opt_instance(const float* locs, int32_t* tour, int n, int max_iter) {
 
 void parallel_for(int count, int num_threads, const std::function<void(int)>& fn);
 
+// ---------------- neighbor-list 2-opt + Or-opt ----------------
+//
+// The plain kernel above scans O(N^2) candidate pairs per *applied move*
+// (best-improvement), which is O(N^3)-ish to converge — fine at N<=200,
+// the bottleneck of the TSP-1000 polish. This variant is the standard
+// large-instance design: k-nearest-neighbor candidate lists, first
+// improvement, don't-look bits, plus Or-opt (segment relocation, lengths
+// 1-3, both orientations). O(N*k) per pass.
+
+struct NeighborLS {
+  int n, k;
+  const float* locs;
+  std::vector<int32_t> knn;       // [n, k] neighbor ids, sorted by distance
+  std::vector<int> pos;           // pos[node] = index in tour
+  std::vector<uint8_t> dont_look;
+
+  NeighborLS(const float* locs_, int n_, int k_) : n(n_), k(std::min(k_, n_ - 1)), locs(locs_) {
+    knn.resize(static_cast<size_t>(n) * k);
+    std::vector<std::pair<float, int>> cand(n - 1);
+    for (int a = 0; a < n; ++a) {
+      int c = 0;
+      for (int b = 0; b < n; ++b)
+        if (b != a) cand[c++] = {dist(locs, a, b), b};
+      std::partial_sort(cand.begin(), cand.begin() + k, cand.end());
+      for (int j = 0; j < k; ++j) knn[static_cast<size_t>(a) * k + j] = cand[j].second;
+    }
+    pos.resize(n);
+    dont_look.assign(n, 0);
+  }
+
+  inline int succ(const int32_t* tour, int node) const {
+    return tour[(pos[node] + 1) % n];
+  }
+  inline int pred(const int32_t* tour, int node) const {
+    return tour[(pos[node] + n - 1) % n];
+  }
+
+  void reverse_segment(int32_t* tour, int i, int j) {
+    // reverse tour[i..j] circularly, choosing the shorter side
+    int len = (j - i + n) % n + 1;
+    if (len > n / 2) {  // reverse the complement instead (same 2-opt result)
+      int ni = (j + 1) % n, nj = (i - 1 + n) % n;
+      i = ni; j = nj; len = n - len;
+    }
+    for (int s = 0; s < len / 2; ++s) {
+      int a = (i + s) % n, b = (j - s + n) % n;
+      std::swap(tour[a], tour[b]);
+      pos[tour[a]] = a;
+      pos[tour[b]] = b;
+    }
+    if (len & 1) pos[tour[(i + len / 2) % n]] = (i + len / 2) % n;
+  }
+
+  void wake(int node) { dont_look[node] = 0; }
+
+  // try all 2-opt moves on the two edges incident to `a` against its
+  // neighbor list; returns true if one was applied
+  bool try_two_opt(int32_t* tour, int a) {
+    for (int dir = 0; dir < 2; ++dir) {
+      const int a2 = dir == 0 ? succ(tour, a) : pred(tour, a);
+      const float d_a = dist(locs, a, a2);
+      for (int j = 0; j < k; ++j) {
+        const int b = knn[static_cast<size_t>(a) * k + j];
+        const float d_ab = dist(locs, a, b);
+        if (d_ab >= d_a) break;  // sorted neighbors: no closer candidate left
+        const int b2 = dir == 0 ? succ(tour, b) : pred(tour, b);
+        if (b2 == a || b == a2) continue;
+        const float delta =
+            d_ab + dist(locs, a2, b2) - d_a - dist(locs, b, b2);
+        if (delta < -1e-6f) {
+          // remove edges (a,a2),(b,b2); add (a,b),(a2,b2)
+          if (dir == 0)
+            reverse_segment(tour, (pos[a] + 1) % n, pos[b]);
+          else
+            reverse_segment(tour, pos[b], (pos[a] - 1 + n) % n);
+          wake(a); wake(a2); wake(b); wake(b2);
+          return true;
+        }
+      }
+    }
+    return false;
+  }
+
+  // Or-opt: relocate the segment of length L starting at `a` between a
+  // neighbor b and succ(b) (or reversed); first improvement
+  bool try_or_opt(int32_t* tour, int a) {
+    for (int L = 1; L <= 3 && L < n - 2; ++L) {
+      const int p0 = pos[a];
+      const int p_end = (p0 + L - 1) % n;
+      const int s_last = tour[p_end];
+      const int prev = tour[(p0 + n - 1) % n];
+      const int next = tour[(p_end + 1) % n];
+      if (next == prev) continue;
+      const float removal = dist(locs, prev, a) + dist(locs, s_last, next) -
+                            dist(locs, prev, next);
+      if (removal <= 1e-6f) continue;  // removing the segment must gain
+      for (int j = 0; j < k; ++j) {
+        const int b = knn[static_cast<size_t>(a) * k + j];
+        // b must lie outside the segment and not be `prev` (no-op position)
+        const int rel = (pos[b] - p0 + n) % n;
+        if (rel < L || b == prev) continue;
+        const int b2 = succ(tour, b);
+        if ((pos[b2] - p0 + n) % n < L) continue;
+        const float d_bb2 = dist(locs, b, b2);
+        // forward: b -> a ... s_last -> b2 ; reversed: b -> s_last ... a -> b2
+        const float ins_f =
+            dist(locs, b, a) + dist(locs, s_last, b2) - d_bb2;
+        const float ins_r =
+            dist(locs, b, s_last) + dist(locs, a, b2) - d_bb2;
+        const bool rev = ins_r < ins_f;
+        const float ins = rev ? ins_r : ins_f;
+        if (ins - removal < -1e-6f) {
+          apply_or_opt(tour, p0, L, pos[b], rev);
+          wake(prev); wake(next); wake(a); wake(s_last); wake(b); wake(b2);
+          return true;
+        }
+      }
+    }
+    return false;
+  }
+
+  void apply_or_opt(int32_t* tour, int p0, int L, int pb, bool rev) {
+    // extract segment, then re-insert after position pb (all circular)
+    std::vector<int32_t> seg(L);
+    for (int s = 0; s < L; ++s) seg[s] = tour[(p0 + s) % n];
+    if (rev) std::reverse(seg.begin(), seg.end());
+    std::vector<int32_t> rest(n - L);
+    int idx = 0;
+    for (int s = 0; s < n - L; ++s) {
+      const int p = (p0 + L + s) % n;
+      rest[idx++] = tour[p];
+    }
+    // position of b within rest: walk rest until b found (b = tour[pb])
+    const int32_t b_node = tour[pb];
+    int bi = 0;
+    while (rest[bi] != b_node) ++bi;
+    // rebuild: rest[0..bi], seg, rest[bi+1..]
+    int t = 0;
+    for (int s = 0; s <= bi; ++s) tour[t++] = rest[s];
+    for (int s = 0; s < L; ++s) tour[t++] = seg[s];
+    for (int s = bi + 1; s < n - L; ++s) tour[t++] = rest[s];
+    for (int s = 0; s < n; ++s) pos[tour[s]] = s;
+  }
+
+  void run(int32_t* tour, int max_passes) {
+    for (int s = 0; s < n; ++s) pos[tour[s]] = s;
+    std::fill(dont_look.begin(), dont_look.end(), 0);
+    for (int pass = 0; pass < max_passes; ++pass) {
+      bool any = false;
+      for (int node = 0; node < n; ++node) {
+        if (dont_look[node]) continue;
+        bool moved = try_two_opt(tour, node);
+        if (!moved) moved = try_or_opt(tour, node);
+        if (moved)
+          any = true;
+        else
+          dont_look[node] = 1;
+      }
+      if (!any) break;
+    }
+  }
+};
+
 // ---------------- CVRP ----------------
 
 struct Routes {
@@ -220,6 +383,17 @@ void batched_two_opt(const float* locs, int32_t* tours, int batch, int n,
   parallel_for(batch, num_threads, [&](int b) {
     two_opt_instance(locs + 2 * static_cast<size_t>(b) * n,
                      tours + static_cast<size_t>(b) * n, n, max_iterations);
+  });
+}
+
+// Neighbor-list 2-opt + Or-opt (first improvement, don't-look bits):
+// the large-N kernel. locs: [B, N, 2]; tours: [B, N] in-place;
+// k = candidate-list size (e.g. 12); max_passes bounds full sweeps.
+void batched_two_opt_nl(const float* locs, int32_t* tours, int batch, int n,
+                        int k, int max_passes, int num_threads) {
+  parallel_for(batch, num_threads, [&](int b) {
+    NeighborLS ls(locs + 2 * static_cast<size_t>(b) * n, n, k);
+    ls.run(tours + static_cast<size_t>(b) * n, max_passes);
   });
 }
 

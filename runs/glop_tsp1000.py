@@ -178,11 +178,11 @@ def main():
 
     # ---- host C++ 2-opt polish of the revised tours ----
     if args.polish_iters > 0:
-        from rl4co_tpu.native import batched_two_opt
+        from rl4co_tpu.native import batched_two_opt_nl
 
         t0 = time.perf_counter()
-        polished = batched_two_opt(locs_np, all_tours["glop_revise"],
-                                   max_iterations=args.polish_iters)
+        polished = batched_two_opt_nl(locs_np, all_tours["glop_revise"],
+                                      max_passes=args.polish_iters)
         dt = time.perf_counter() - t0
         check_perm(polished, n)
         ordered = np.take_along_axis(locs_np, polished[..., None].repeat(2, -1), 1)

@@ -139,3 +139,36 @@ def test_host_callback_detection_logic(monkeypatch):
     monkeypatch.setattr(ls, "_HOST_CB_SUPPORTED", None)
     monkeypatch.setattr(ls.jax, "default_backend", lambda: "cpu")
     assert ls.host_callbacks_supported() is True
+
+
+def test_neighbor_list_two_opt_or_opt():
+    """Large-N kernel (neighbor-list 2-opt + Or-opt): permutation preserved,
+    never worse than the input, and at least as short as the plain
+    best-improvement 2-opt given the same budget class."""
+    import numpy as np
+
+    from rl4co_tpu.native import batched_two_opt, batched_two_opt_nl
+
+    rng = np.random.default_rng(7)
+    b, n = 4, 300
+    locs = rng.random((b, n, 2), dtype=np.float32)
+    tours = np.stack([rng.permutation(n) for _ in range(b)]).astype(np.int32)
+
+    def lengths(t):
+        o = np.take_along_axis(locs, t[..., None].repeat(2, -1), 1)
+        c = np.concatenate([o, o[:, :1]], 1)
+        return np.linalg.norm(np.diff(c, axis=1), axis=-1).sum(1)
+
+    l0 = lengths(tours)
+    out_nl = batched_two_opt_nl(locs, tours)
+    assert (np.sort(out_nl, axis=1) == np.arange(n)).all()
+    l_nl = lengths(out_nl)
+    assert (l_nl <= l0 + 1e-4).all()
+    out_plain = batched_two_opt(locs, tours, max_iterations=10_000)
+    # or-opt + 2-opt should be at least competitive with plain 2-opt
+    assert l_nl.mean() <= lengths(out_plain).mean() * 1.02
+    # dispatcher picks the nl kernel at large N
+    from rl4co_tpu.envs.routing.local_search import tsp_local_search
+
+    out_auto = tsp_local_search(locs, tours)
+    assert (lengths(out_auto) <= l0 + 1e-4).all()

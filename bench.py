@@ -216,6 +216,26 @@ def main():
 
     train_rate, train_note = _run_phase("train", deadline)
 
+    # Second chance for the headline metric: a rollout phase that lost its
+    # slot to a cold compile often succeeds on retry — the timed-out
+    # subprocess's compile may have finished and populated the persistent
+    # cache, and the tunnel is warmer (rounds 2-3: the retry pattern was
+    # manual; a warm rerun is <30 s).
+    if rollout_rate is None and deadline - time.monotonic() > 60.0:
+        rollout_rate, retry_note = _run_phase("rollout", deadline)
+        if rollout_rate is not None:
+            rollout_note = None
+            partial = {
+                "metric": "rollout env-steps/s/chip (TSP-100 AM multistart-greedy)",
+                "value": round(rollout_rate, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(rollout_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3),
+                "note": "second attempt (first hit compile budget)",
+            }
+            print(json.dumps(partial), flush=True)
+        else:
+            rollout_note = f"{rollout_note}; retry: {retry_note}"
+
     out = {
         "metric": "train env-steps/s/chip (TSP-100 AM REINFORCE+rollout-bl, bf16)",
         "value": round(train_rate, 1) if train_rate else None,

@@ -313,6 +313,39 @@ bool inter_moves(const float* locs, const float* demand, float capacity,
       }
     }
   }
+  // swap: exchange one customer between two routes (in place), when both
+  // directions are capacity-feasible and the combined delta improves
+  for (int r1 = 0; r1 < nr; ++r1) {
+    for (int r2 = r1 + 1; r2 < nr; ++r2) {
+      for (size_t i = 0; i < routes[r1].size(); ++i) {
+        const int c1 = routes[r1][i];
+        const float d1 = demand[c1];
+        const int p1 = (i == 0) ? 0 : routes[r1][i - 1];
+        const int n1 = (i + 1 == routes[r1].size()) ? 0 : routes[r1][i + 1];
+        for (size_t j = 0; j < routes[r2].size(); ++j) {
+          const int c2 = routes[r2][j];
+          const float d2 = demand[c2];
+          if (loads[r1] - d1 + d2 > capacity + 1e-6f ||
+              loads[r2] - d2 + d1 > capacity + 1e-6f)
+            continue;
+          const int p2 = (j == 0) ? 0 : routes[r2][j - 1];
+          const int n2 = (j + 1 == routes[r2].size()) ? 0 : routes[r2][j + 1];
+          const float delta =
+              dist(locs, p1, c2) + dist(locs, c2, n1) - dist(locs, p1, c1) -
+              dist(locs, c1, n1) + dist(locs, p2, c1) + dist(locs, c1, n2) -
+              dist(locs, p2, c2) - dist(locs, c2, n2);
+          if (delta < -1e-6f) {
+            routes[r1][i] = c2;
+            routes[r2][j] = c1;
+            loads[r1] += d2 - d1;
+            loads[r2] += d1 - d2;
+            improved = true;
+            break;  // c1/p1/n1 are stale — move to the next i
+          }
+        }
+      }
+    }
+  }
   return improved;
 }
 

@@ -14,6 +14,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -120,8 +121,21 @@ class MultiEnvREINFORCE:
 
         return loss
 
-    def make_train_step(self, batch_size: int, mesh=None, donate: bool = False):
-        """Round-robin over envs; one jitted step per env, shared params."""
+    def make_train_step(self, batch_size: int, mesh=None, donate: bool = False,
+                        chunk: int = 1):
+        """Round-robin over envs; one jitted step per env, shared params.
+
+        With ``chunk > 1``, each dispatch scans ``chunk`` consecutive steps
+        of ONE env under `lax.scan` (different envs have different instance
+        pytree shapes, so they cannot share a scan body) and the host
+        alternates envs across dispatches — interleaving granularity
+        becomes ``chunk`` steps instead of 1. At the production chunk of
+        125 and 1,250 steps/epoch that is 10 alternations per epoch; the
+        per-step RNG stream is identical to ``chunk=1`` (each step folds
+        the dispatch key with ``state.step``). Without this the mixed run
+        is dispatch-bound on remote tunnels: 1,250 round trips/epoch
+        (round-2's 174 s/epoch mixed pace was exactly this).
+        """
         tx = self.make_optimizer()
         names = list(self.envs)
 
@@ -130,7 +144,6 @@ class MultiEnvREINFORCE:
             bl = self._baselines[name]
             env = self.envs[name]
 
-            @jax.jit
             def step(state: TrainState, key: jax.Array):
                 kd, kr = jax.random.split(jax.random.fold_in(key, state.step))
                 instances = env.generate_batch(kd, batch_size)
@@ -153,20 +166,28 @@ class MultiEnvREINFORCE:
                     step=state.step + 1,
                 ), metrics
 
-            return step
+            if chunk > 1:
+                def superstep(state: TrainState, key: jax.Array):
+                    return jax.lax.scan(
+                        lambda s, _: step(s, key), state, None, length=chunk
+                    )
+                return jax.jit(superstep,
+                               donate_argnums=(0,) if donate else ())
+            return jax.jit(step, donate_argnums=(0,) if donate else ())
 
         env_steps = {n: make_env_step(n) for n in names}
         counter = {"i": 0}
 
-        def step(state, key):
+        def dispatch(state, key):
             name = names[counter["i"] % len(names)]
             counter["i"] += 1
             state, metrics = env_steps[name](state, key)
             metrics = dict(metrics)
-            metrics["env"] = name
+            # stacked over chunk so the Trainer's `v[-1]` log picks the name
+            metrics["env"] = (np.asarray([name] * chunk) if chunk > 1 else name)
             return state, metrics
 
-        return step
+        return dispatch
 
     def make_eval_step(self, spec: Optional[DecodeSpec] = None, env_name=None):
         spec = spec or self.val_spec

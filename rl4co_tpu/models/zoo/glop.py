@@ -77,6 +77,52 @@ def batched_random_insertion(locs: jax.Array, key: jax.Array) -> jax.Array:
     return jax.vmap(random_insertion)(locs, jax.random.split(key, b))
 
 
+def random_insertion_path(locs: jax.Array, key: jax.Array) -> jax.Array:
+    """Cheapest insertion into an OPEN PATH with fixed endpoints 0 and N-1
+    (the SHPP objective). Re-solving a tour *segment* must respect its
+    junctions to the rest of the tour; a closed-cycle re-solve ignores them
+    and its candidates lose at the junction edges (measured: zero accepted
+    revisions). locs [N, 2] -> order [N] with order[0] = 0, order[-1] = N-1.
+    """
+    n = locs.shape[0]
+    order = jax.random.permutation(key, n - 2) + 1  # interior nodes only
+    # path as linked list from 0 to N-1; N-1's successor is a sentinel
+    nxt = jnp.full((n,), -1, jnp.int32)
+    nxt = set_at(nxt, 0, n - 1)
+
+    def insert(nxt, c):
+        def cost_after(i):
+            j = nxt[i]
+            return (
+                jnp.linalg.norm(locs[i] - locs[c])
+                + jnp.linalg.norm(locs[c] - locs[j])
+                - jnp.linalg.norm(locs[i] - locs[j])
+            )
+
+        costs = jax.vmap(cost_after)(jnp.arange(n))
+        costs = jnp.where(nxt >= 0, costs, jnp.inf)  # only path positions
+        best = jnp.argmin(costs)
+        nxt = set_at(set_at(nxt, c, nxt[best]), best, c)
+        return nxt, None
+
+    nxt, _ = jax.lax.scan(insert, nxt, order)
+
+    def walk(i, carry):
+        path, cur = carry
+        path = set_at(path, i, cur)
+        return path, nxt[cur]
+
+    path, _ = jax.lax.fori_loop(
+        0, n, walk, (jnp.zeros((n,), jnp.int32), jnp.int32(0))
+    )
+    return path
+
+
+def batched_random_insertion_path(locs: jax.Array, key: jax.Array) -> jax.Array:
+    b = locs.shape[0]
+    return jax.vmap(random_insertion_path)(locs, jax.random.split(key, b))
+
+
 @dataclasses.dataclass(frozen=True)
 class GLOP:
     """TSP revision loop: partition the current tour into fixed-length
@@ -93,9 +139,10 @@ class GLOP:
         """seg_locs [M, L, 2] (endpoints fixed at 0 and L-1) -> orders [M, L]."""
         m, l, _ = seg_locs.shape
         if self.subsolver_policy is None:
-            # cheapest insertion, then rotate so segment starts at 0;
-            # endpoints handled by evaluation (closed-loop SHPP objective)
-            return batched_random_insertion(seg_locs, key)
+            # open-path cheapest insertion with the segment's junction nodes
+            # fixed as endpoints (SHPP semantics — a closed-cycle re-solve
+            # ignores the junctions and its candidates are rejected)
+            return batched_random_insertion_path(seg_locs, key)
         # Normalize each segment to the unit square (uniform scale, so the
         # optimal order is preserved): at N=1000 a segment occupies a tiny
         # local patch, while the reviser is trained on [0,1]^2 SHPP

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -69,12 +69,17 @@ def evaluate_policy(
     tanh_clipping: float = 10.0,
     return_actions: bool = False,
     check_solutions: bool = False,
+    progress: Optional[Callable[[int, int], None]] = None,
     **method_overrides,
 ) -> dict:
     """Evaluate ``policy`` on ``instances``; returns per-instance best rewards.
 
     Auto batch-size shrinks with starts×augs×samples like the reference
     (`eval.py:302-330`).
+
+    ``progress``: optional ``callback(done, total)`` invoked after every
+    evaluated batch — long evals (10k instances × starts × augs) otherwise
+    produce no output for minutes, which stall-watchdogs misread as a hang.
 
     ``return_actions``: also return the per-instance best action sequences.
     ``check_solutions``: assert `env.check_solution_validity` on every eval
@@ -176,6 +181,8 @@ def evaluate_policy(
         )
         r, acts = run_batch(params, batch, jax.random.fold_in(key, start))
         _consume(r, acts, batch, batch_size)
+        if progress is not None:
+            progress(start + batch_size, n)
     # ragged tail: evaluate by padding up to batch_size to avoid a recompile
     done_n = (n // batch_size) * batch_size
     if done_n < n:
@@ -191,6 +198,8 @@ def evaluate_policy(
         )
         r, acts = run_batch(params, batch, jax.random.fold_in(key, done_n))
         _consume(r, acts, batch, tail)
+        if progress is not None:
+            progress(n, n)
     dt = time.perf_counter() - t0
     rewards = np.concatenate(rewards)
     res = {

@@ -135,9 +135,12 @@ def main():
     for name, fn in (("insertion", solve_construct), ("glop_revise", solve_full)):
         # warmup on the first batch, excluded from the timed region
         batch0 = jax.device_put(locs_np[:bs], dev)
+        print(json.dumps({"warmup": name}), flush=True)
         t_w = time.perf_counter()
         np.asarray(fn(batch0, jax.random.PRNGKey(0))[0])
         warmup_s = time.perf_counter() - t_w
+        print(json.dumps({"warmup_done": name, "s": round(warmup_s, 1)}),
+              flush=True)
 
         tours, lengths = [], []
         t0 = time.perf_counter()
@@ -151,6 +154,8 @@ def main():
             keep = bs - pad
             tours.append(np.asarray(t)[:keep])
             lengths.append(np.asarray(ln)[:keep])
+            print(json.dumps({"progress": f"{name} {s + keep}/{args.eval_size}"}),
+                  flush=True)
         dt = time.perf_counter() - t0
         tours = np.concatenate(tours)
         lengths = np.concatenate(lengths).astype(np.float64)

@@ -228,8 +228,20 @@ def main(argv=None):
         pol = (algo.policy.for_env(env_name)
                if hasattr(algo.policy, "for_env") else algo.policy)
         for method in p["eval_methods"]:
+            last = [0.0]
+
+            def _progress(done, total):
+                # heartbeat for the stall watchdog: long evals are silent
+                # otherwise and a 420 s quiet window reads as a hang
+                now = time.time()
+                if now - last[0] > 60 or done == total:
+                    last[0] = now
+                    print(json.dumps({"eval_progress": f"{done}/{total}",
+                                      "method": method}), flush=True)
+
             res = evaluate_policy(e, pol, state.params, test,
-                                  method=method, check_solutions=True)
+                                  method=method, check_solutions=True,
+                                  progress=_progress)
             maximize = env_name in MAXIMIZE
             if maximize:
                 prize = res["mean_reward"]

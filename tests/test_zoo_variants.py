@@ -380,6 +380,17 @@ def test_glop_random_insertion_and_revision():
     # revision never worsens the tour it starts from
     assert (np.asarray(len2) <= np.asarray(base_len) + 1e-5).all()
 
+    # ...and at larger N it must ACTUALLY improve (round-4 regression: the
+    # closed-cycle segment re-solve ignored junction nodes and accepted
+    # zero revisions — the endpoint-respecting path insertion fixes it)
+    locs_big = jax.random.uniform(jax.random.PRNGKey(5), (4, 150, 2))
+    g0 = GLOP(seg_len=25, n_rounds=0)
+    g = GLOP(seg_len=25, n_rounds=12)
+    _, l0 = jax.jit(g0.solve)(locs_big, jax.random.PRNGKey(6))
+    _, l1 = jax.jit(g.solve)(locs_big, jax.random.PRNGKey(6))
+    assert float(l1.mean()) < float(l0.mean()) - 1e-3, (
+        f"revision accepted nothing: {float(l0.mean())} -> {float(l1.mean())}")
+
 
 def test_l2d_trains_on_fjsp():
     from rl4co_tpu.envs.scheduling.fjsp import FJSP

@@ -167,6 +167,15 @@ class GLOP:
         assert n % l == 0, "seg_len must divide num_loc (pad upstream otherwise)"
         h = n // l
 
+        def seg_path_len(sl, orders):
+            """Internal path length of each segment under `orders` [M, L].
+            Junction edges (segment end -> next segment start) are constant
+            under any endpoint-preserving reorder and excluded."""
+            pts = jnp.take_along_axis(sl, orders[..., None].repeat(2, -1), 1)
+            return jnp.linalg.norm(pts[:, 1:] - pts[:, :-1], axis=-1).sum(-1)
+
+        identity = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b * h, l))
+
         def one_round(carry, k):
             tours, koff = carry
             # rotate the tour by a random offset so segment boundaries move
@@ -175,16 +184,27 @@ class GLOP:
             seg_nodes = rolled.reshape(b, h, l)                     # [B, H, L]
             seg_locs = jax.vmap(lambda lo, sn: lo[sn])(locs, seg_nodes.reshape(b, -1))
             seg_locs = seg_locs.reshape(b * h, l, 2)
-            orders = self._solve_segments(seg_locs, k)              # [B*H, L]
-            # candidate: reorder nodes within each segment
+            # Candidates per segment: identity (never worsen), open-path
+            # cheapest insertion, and the learned reviser when present.
+            # Every candidate fixes the segment's endpoint (junction) nodes,
+            # so segments are independent and acceptance is PER SEGMENT by
+            # internal path length — strictly stronger than the all-or-
+            # nothing whole-tour accept (a weak reviser can't hurt and a
+            # partial win is kept).
+            k_ins, k_pol = jax.random.split(k)
+            cands = [identity, batched_random_insertion_path(seg_locs, k_ins)]
+            if self.subsolver_policy is not None:
+                cands.append(self._solve_segments(seg_locs, k_pol))
+            stacked = jnp.stack(cands)                              # [C, M, L]
+            lens = jax.vmap(lambda o: seg_path_len(seg_locs, o))(stacked)
+            best = jnp.argmin(lens, axis=0)                         # [M]
+            orders = jnp.take_along_axis(
+                stacked, best[None, :, None], axis=0
+            )[0]                                                    # [M, L]
             reordered = jnp.take_along_axis(
                 seg_nodes.reshape(b * h, l), orders, axis=-1
-            ).reshape(b, h, l)
-            cand = reordered.reshape(b, n)
-            old_len = jax.vmap(lambda lo, t: get_tour_length(lo[t]))(locs, rolled)
-            new_len = jax.vmap(lambda lo, t: get_tour_length(lo[t]))(locs, cand)
-            better = new_len < old_len
-            tours = jnp.where(better[:, None], cand, rolled)
+            )
+            tours = reordered.reshape(b, n)
             return (tours, jax.random.fold_in(koff, 1)), None
 
         (tours, _), _ = jax.lax.scan(

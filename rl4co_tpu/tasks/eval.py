@@ -12,6 +12,7 @@ into spec + augmentation composition.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Optional
 
@@ -101,7 +102,12 @@ def evaluate_policy(
     )
     a = max(m.num_augment, 1)
     if batch_size is None:
-        batch_size = max(1, 8192 // max(1, s * a))
+        # Reference auto-batch ceiling is 8192 trajectories (`eval.py:302-330`).
+        # On remote-dispatch backends the per-batch round trip dominates at
+        # that size (CVRP-50 multistart+aug: 20 instances/dispatch, 500
+        # dispatches for a 10k set) — RL4CO_EVAL_BATCH_CEIL raises it.
+        ceil = int(os.environ.get("RL4CO_EVAL_BATCH_CEIL", 8192))
+        batch_size = max(1, ceil // max(1, s * a))
 
     spec = DecodeSpec(
         kind="sampling" if (m.decode == "sampling" and not m.multistart) else m.decode,

@@ -1,8 +1,10 @@
 #!/bin/bash
-# Round-4 TPU job queue: runs after the POMO CVRP-50 watchdog exits.
-# Jobs in VERDICT-priority order, each under the stall watchdog with an
-# ABSOLUTE deadline so a late POMO finish squeezes later jobs instead of
-# overrunning the round (the driver needs the tunnel free at the end).
+# Round-4 TPU job queue (v2): runs after the POMO CVRP-50 watchdog exits.
+# bench-prime moved FIRST (VERDICT r3 #2 — the driver-facing compile-cache
+# warm-up must not be squeezed out by a late POMO finish); each job runs
+# under the stall watchdog with an ABSOLUTE deadline so overruns shrink
+# later jobs instead of the round. FINAL_END frees the tunnel for the
+# driver's own bench run.
 set -u
 cd /root/repo
 
@@ -13,8 +15,6 @@ echo "[queue] POMO done at $(date); 75s tunnel cooldown"
 sleep 75
 
 now() { date +%s; }
-# Hard ceiling: everything must be off the tunnel by FINAL_END (driver
-# bench + final commits need the rest of the round).
 FINAL_END=${FINAL_END:-$(date -d "14:55" +%s)}
 
 run_job() { # name deadline_epoch staleness cmd...
@@ -30,17 +30,21 @@ run_job() { # name deadline_epoch staleness cmd...
   sleep 75
 }
 
+# 0. Prime the bench compile cache in the driver's exact environment
+#    (VERDICT #2) — FIRST so nothing can squeeze it out. Reruns are cheap
+#    once cached; a second prime at the end re-warms the tunnel.
+run_job bench_prime "$(( $(now) + 1500 ))" 600 \
+  python bench.py
+
 # 1. AM-XL TSP-100 (VERDICT #4): ~105 s/epoch; 0.95 h ≈ 33 epochs,
 #    checkpointed for round-5 resume, eval on the full 10k protocol.
-AMXL_END=$(( $(now) + 5400 ))
-run_job amxl_tsp100 "$AMXL_END" 420 \
+run_job amxl_tsp100 "$(( $(now) + 5400 ))" 420 \
   python runs/train_quality.py --preset amxl_tsp100 --epochs 100 --resume \
     --val-size 1024 --eval-size 10000 --max-hours 0.95
 
-# 2. Mixed OP+PCTSP re-train + fresh eval (VERDICT #5) — confirms the OP
-#    eval fix on-chip and gives the mixed row of the 3-row table.
-MIXED_END=$(( $(now) + 2700 ))
-run_job mixed_op_pctsp "$MIXED_END" 420 \
+# 2. Mixed OP+PCTSP re-train + fresh eval (VERDICT #5) — now chunked
+#    dispatch (10 RTT/epoch); full 100 epochs ≈ 30-40 min.
+run_job mixed_op_pctsp "$(( $(now) + 2700 ))" 420 \
   python runs/train_quality.py --preset mixed_op_pctsp --epochs 100 --resume \
     --val-size 512 --eval-size 2000 --max-hours 0.5
 
@@ -57,30 +61,25 @@ EOF
 )
 echo "[queue] mixed epochs_trained=$E -> controls --epochs $E"
 
-OP_END=$(( $(now) + 1800 ))
-run_job op20_single "$OP_END" 420 \
+run_job op20_single "$(( $(now) + 1800 ))" 420 \
   python runs/train_quality.py --preset op20_single --epochs "$E" --resume \
     --val-size 512 --eval-size 2000 --max-hours 0.4
 
-PCTSP_END=$(( $(now) + 1800 ))
-run_job pctsp20_single "$PCTSP_END" 420 \
+run_job pctsp20_single "$(( $(now) + 1800 ))" 420 \
   python runs/train_quality.py --preset pctsp20_single --epochs "$E" --resume \
     --val-size 512 --eval-size 2000 --max-hours 0.4
 
 # 3. NAR TSP-500 re-emit with warm eval timing (VERDICT #7).
-NAR_END=$(( $(now) + 1500 ))
-run_job nar_tsp500 "$NAR_END" 420 \
+run_job nar_tsp500 "$(( $(now) + 1500 ))" 420 \
   python runs/nar_tsp500.py --max-hours 0.12
 
 # 4. GLOP at TSP-1000 with a learned SHPP-25 reviser (VERDICT #6).
-GLOP_END=$(( $(now) + 2100 ))
-run_job glop_tsp1000 "$GLOP_END" 420 \
+run_job glop_tsp1000 "$(( $(now) + 2100 ))" 420 \
   python runs/glop_tsp1000.py --reviser-epochs 3
 
-# 5. Prime the bench compile cache in the driver's exact environment
-#    (VERDICT #2): run bench.py to completion at least once.
-BENCH_END=$(( $(now) + 1200 ))
-run_job bench_prime "$BENCH_END" 500 \
+# 5. Re-prime the bench late so the driver's first dispatch hits a warm
+#    tunnel as well as a warm cache (skipped automatically if <5 min).
+run_job bench_reprime "$(( $(now) + 900 ))" 500 \
   python bench.py
 
 echo "[queue] ALL DONE $(date)"

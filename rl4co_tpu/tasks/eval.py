@@ -107,7 +107,10 @@ def evaluate_policy(
         # that size (CVRP-50 multistart+aug: 20 instances/dispatch, 500
         # dispatches for a 10k set) — RL4CO_EVAL_BATCH_CEIL raises it.
         ceil = int(os.environ.get("RL4CO_EVAL_BATCH_CEIL", 8192))
-        batch_size = max(1, ceil // max(1, s * a))
+        # instances per dispatch stay <= 8192 regardless (the reference's
+        # start ceiling): the override widens multistart/aug dispatches,
+        # not single-trajectory ones
+        batch_size = max(1, min(ceil // max(1, s * a), 8192))
 
     spec = DecodeSpec(
         kind="sampling" if (m.decode == "sampling" and not m.multistart) else m.decode,

@@ -502,3 +502,16 @@ def test_reference_model_class_exports():
                                        num_encoder_layers=1,
                                        feedforward_hidden=16))
     assert nopt.action_dim == 12
+
+
+def test_random_insertion_path_endpoints():
+    """Open-path cheapest insertion fixes endpoints 0 and N-1 (SHPP
+    semantics for GLOP segment re-solve) and yields a permutation."""
+    from rl4co_tpu.models.zoo.glop import batched_random_insertion_path
+
+    locs = jax.random.uniform(jax.random.PRNGKey(0), (6, 12, 2))
+    orders = batched_random_insertion_path(locs, jax.random.PRNGKey(1))
+    o = np.asarray(orders)
+    assert (o[:, 0] == 0).all() and (o[:, -1] == 11).all()
+    for b in range(6):
+        assert sorted(o[b].tolist()) == list(range(12))

@@ -75,10 +75,15 @@ class CVRP(Env):
         depot = jax.random.uniform(
             kdepot, (2,), minval=self.min_loc, maxval=self.max_loc
         )
-        # Integer demands in [min_demand, max_demand], normalized by capacity
-        # (reference `cvrp/generator.py:120-138`).
+        # Integer demands in [min_demand, max_demand - 1], normalized by
+        # capacity. The reference samples Uniform[min-1, max-1), floors, and
+        # adds 1 (`cvrp/generator.py:96-98,126-127`) — with the defaults
+        # (1, 10) that is integers 1..9, Kool et al.'s distribution. Round
+        # 1-3 sampled 1..10 here (~10% more total demand per instance),
+        # which inflates route counts and biases every gap measured against
+        # the Kool/LKH anchors upward.
         demand = jax.random.randint(
-            kdem, (self.num_loc,), self.min_demand, self.max_demand + 1
+            kdem, (self.num_loc,), self.min_demand, self.max_demand
         ).astype(jnp.float32)
         demand = demand / self._capacity
         return {"locs": locs, "depot": depot, "demand": demand}

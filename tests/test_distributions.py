@@ -103,3 +103,20 @@ def test_samplers_deterministic_and_jittable():
         np.testing.assert_array_equal(a, b)
         c = np.asarray(jax.jit(lambda k: s.sample(k, (4, 10, 2)))(KEY))
         np.testing.assert_allclose(a, c, rtol=1e-6)
+
+
+def test_cvrp_demand_distribution_matches_reference():
+    """CVRP demands must be integers 1..9 (÷capacity): the reference's
+    Uniform[min-1, max-1) → floor → +1 pipeline with defaults (1, 10)
+    (`cvrp/generator.py:96-98,126-127`, Kool et al. 2019). Rounds 1-3
+    sampled 1..10 — ~10% extra total demand that biased every gap measured
+    against the Kool/LKH anchors."""
+    from rl4co_tpu.envs import get_env
+
+    env = get_env("cvrp", num_loc=50)
+    inst = env.generate_batch(jax.random.PRNGKey(0), 512)
+    d = np.asarray(inst["demand"]) * 40.0  # n=50 -> capacity 40
+    vals = np.unique(np.round(d).astype(int))
+    assert vals.min() >= 1 and vals.max() <= 9, vals
+    assert abs(d.mean() - 5.0) < 0.1
+    np.testing.assert_allclose(d, np.round(d), atol=1e-4)  # integers

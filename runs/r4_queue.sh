@@ -1,10 +1,8 @@
 #!/bin/bash
-# Round-4 TPU job queue (v2): runs after the POMO CVRP-50 watchdog exits.
-# bench-prime moved FIRST (VERDICT r3 #2 — the driver-facing compile-cache
-# warm-up must not be squeezed out by a late POMO finish); each job runs
-# under the stall watchdog with an ABSOLUTE deadline so overruns shrink
-# later jobs instead of the round. FINAL_END frees the tunnel for the
-# driver's own bench run.
+# Round-4 TPU job queue (v3): small deliverables first, AM-XL takes the
+# remainder (it is checkpoint-resumable across rounds; NAR/GLOP/mixed are
+# lose-entirely-if-skipped). Each job runs under the stall watchdog with an
+# ABSOLUTE deadline; FINAL_END frees the tunnel for the driver's bench.
 set -u
 cd /root/repo
 
@@ -15,15 +13,15 @@ echo "[queue] POMO done at $(date); 75s tunnel cooldown"
 sleep 75
 
 now() { date +%s; }
-FINAL_END=${FINAL_END:-$(date -d "14:55" +%s)}
+FINAL_END=${FINAL_END:-$(date -d "15:00" +%s)}
 
 run_job() { # name deadline_epoch staleness cmd...
   local name="$1" deadline="$2" stale="$3"; shift 3
+  [ "$deadline" -gt "$FINAL_END" ] && deadline=$FINAL_END
   if [ $(( deadline - $(now) )) -lt 300 ]; then
     echo "[queue] SKIP $name — <5 min before its deadline ($(date))"
     return 0
   fi
-  [ "$deadline" -gt "$FINAL_END" ] && deadline=$FINAL_END
   echo "[queue] START $name until $(date -d @$deadline +%H:%M) ($(date))"
   bash runs/watchdog.sh "runs/${name}_r4.log" "$stale" "$deadline" -- "$@"
   echo "[queue] DONE $name rc=$? ($(date)); 75s cooldown"
@@ -31,22 +29,23 @@ run_job() { # name deadline_epoch staleness cmd...
 }
 
 # 0. Prime the bench compile cache in the driver's exact environment
-#    (VERDICT #2) — FIRST so nothing can squeeze it out. Reruns are cheap
-#    once cached; a second prime at the end re-warms the tunnel.
-run_job bench_prime "$(( $(now) + 1500 ))" 600 \
+#    (VERDICT #2) — FIRST so nothing can squeeze it out.
+run_job bench_prime "$(( $(now) + 1200 ))" 600 \
   python bench.py
 
-# 1. AM-XL TSP-100 (VERDICT #4): ~105 s/epoch; 0.95 h ≈ 33 epochs,
-#    checkpointed for round-5 resume, eval on the full 10k protocol.
-run_job amxl_tsp100 "$(( $(now) + 5400 ))" 420 \
-  python runs/train_quality.py --preset amxl_tsp100 --epochs 100 --resume \
-    --val-size 1024 --eval-size 10000 --max-hours 0.95
+# 1. NAR TSP-500 re-emit with warm eval timing (VERDICT #7) — small.
+run_job nar_tsp500 "$(( $(now) + 1200 ))" 420 \
+  python runs/nar_tsp500.py --max-hours 0.12
 
-# 2. Mixed OP+PCTSP re-train + fresh eval (VERDICT #5) — now chunked
-#    dispatch (10 RTT/epoch); full 100 epochs ≈ 30-40 min.
+# 2. GLOP at TSP-1000 with a learned SHPP-25 reviser (VERDICT #6) — small.
+run_job glop_tsp1000 "$(( $(now) + 1800 ))" 420 \
+  python runs/glop_tsp1000.py --reviser-epochs 3
+
+# 3. Mixed OP+PCTSP re-train + fresh eval (VERDICT #5) — chunked dispatch,
+#    full 100 epochs ≈ 30-40 min.
 run_job mixed_op_pctsp "$(( $(now) + 2700 ))" 420 \
   python runs/train_quality.py --preset mixed_op_pctsp --epochs 100 --resume \
-    --val-size 512 --eval-size 2000 --max-hours 0.5
+    --val-size 512 --eval-size 2000 --max-hours 0.45
 
 # matched per-env budgets: controls train the SAME epoch count the mixed
 # run achieved (mixed splits 640k samples/epoch across two envs = 320k
@@ -61,21 +60,25 @@ EOF
 )
 echo "[queue] mixed epochs_trained=$E -> controls --epochs $E"
 
-run_job op20_single "$(( $(now) + 1800 ))" 420 \
+run_job op20_single "$(( $(now) + 1500 ))" 420 \
   python runs/train_quality.py --preset op20_single --epochs "$E" --resume \
-    --val-size 512 --eval-size 2000 --max-hours 0.4
+    --val-size 512 --eval-size 2000 --max-hours 0.3
 
-run_job pctsp20_single "$(( $(now) + 1800 ))" 420 \
+run_job pctsp20_single "$(( $(now) + 1500 ))" 420 \
   python runs/train_quality.py --preset pctsp20_single --epochs "$E" --resume \
-    --val-size 512 --eval-size 2000 --max-hours 0.4
+    --val-size 512 --eval-size 2000 --max-hours 0.3
 
-# 3. NAR TSP-500 re-emit with warm eval timing (VERDICT #7).
-run_job nar_tsp500 "$(( $(now) + 1500 ))" 420 \
-  python runs/nar_tsp500.py --max-hours 0.12
-
-# 4. GLOP at TSP-1000 with a learned SHPP-25 reviser (VERDICT #6).
-run_job glop_tsp1000 "$(( $(now) + 2100 ))" 420 \
-  python runs/glop_tsp1000.py --reviser-epochs 3
+# 4. AM-XL TSP-100 (VERDICT #4): whatever time remains, checkpointed for
+#    round-5 resume. max-hours sized from the remaining window (minus eval).
+REMAIN=$(( FINAL_END - $(now) - 600 ))
+if [ "$REMAIN" -gt 900 ]; then
+  MH=$(python -c "print(round($REMAIN/3600, 2))")
+  run_job amxl_tsp100 "$FINAL_END" 420 \
+    python runs/train_quality.py --preset amxl_tsp100 --epochs 100 --resume \
+      --val-size 1024 --eval-size 10000 --max-hours "$MH"
+else
+  echo "[queue] SKIP amxl_tsp100 — <15 min remain"
+fi
 
 # 5. Re-prime the bench late so the driver's first dispatch hits a warm
 #    tunnel as well as a warm cache (skipped automatically if <5 min).

@@ -91,6 +91,7 @@ def rollout(
     key: jax.Array,
     spec: DecodeSpec,
     replay_actions: Optional[jax.Array] = None,
+    temperature_override: Optional[jax.Array] = None,
 ) -> RolloutOutput:
     """Full autoregressive rollout as a single scan.
 
@@ -100,6 +101,10 @@ def rollout(
             output batch is ``B * num_starts`` in repeat-major layout
             (``unbatchify(x, num_starts) -> [B, num_starts]``).
         replay_actions: ``[B', T]`` actions for ``kind='evaluate'``.
+        temperature_override: optional TRACED temperature replacing the
+            spec's static one — lets `vmap` run members with different
+            temperatures in one program (the fused rollout-baseline trick:
+            member 1 at τ→0 is exact greedy under sharpened categorical).
     """
     if spec.compute_dtype is not None:
         from rl4co_tpu.utils.dtype import cast_floating
@@ -116,7 +121,8 @@ def rollout(
     embeddings = policy.apply(params, instances, method="encode")
     cache = policy.apply(params, embeddings, method="precompute")
     return rollout_from_cache(
-        policy, params, env, instances, cache, key, spec, replay_actions
+        policy, params, env, instances, cache, key, spec, replay_actions,
+        temperature_override=temperature_override,
     )
 
 
@@ -130,6 +136,7 @@ def rollout_from_cache(
     spec: DecodeSpec,
     replay_actions: Optional[jax.Array] = None,
     decode_extra_args: tuple = (),
+    temperature_override: Optional[jax.Array] = None,
 ) -> RolloutOutput:
     """Decode loop from a precomputed cache (used by EAS, which fine-tunes
     embeddings/cache directly; reference `rl4co/models/zoo/eas/decoder.py`)."""
@@ -176,7 +183,17 @@ def rollout_from_cache(
             method="decode_step",
         )
         # softmax/sampling numerics always in f32 (policy may compute in bf16)
-        logprobs = process_logits_spec(logits.astype(jnp.float32), mask, spec)
+        if temperature_override is None:
+            logprobs = process_logits_spec(logits.astype(jnp.float32), mask, spec)
+        else:
+            from rl4co_tpu.decoding import process_logits
+
+            logprobs = process_logits(
+                logits.astype(jnp.float32), mask,
+                temperature=temperature_override, top_p=spec.top_p,
+                top_k=spec.top_k, tanh_clipping=spec.tanh_clipping,
+                mask_logits=spec.mask_logits,
+            )
         action, logprob = decode_action(k, logprobs, mask, spec, replay_t)
         if first_actions is not None:
             action = jnp.where(t == 0, first_actions, action)

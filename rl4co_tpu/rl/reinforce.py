@@ -53,6 +53,15 @@ class REINFORCE:
     grad_clip: float = 1.0
     optimizer: str = "adam"  # by-name (reference `optim_helpers.py:34-40`)
     lr_schedule: object = None  # optax.Schedule overriding constant lr
+    # Fuse the baseline's greedy re-rollout into the SAME scan as the
+    # sampling rollout (rollout baseline only): params are stacked
+    # [live, snapshot] and vmapped, with a per-member traced temperature
+    # (τ→0 = exact greedy under the sharpened categorical). Halves the
+    # sequential decode steps per train step — the small-batch train step
+    # is scan-latency-bound, not FLOPs-bound (618k env-steps/s at TSP-100
+    # batch 512 where the 25.6k-wide eval rollout hits 6.9M). Opt-in until
+    # measured on hardware.
+    fused_rollout_baseline: bool = False
 
     def __post_init__(self):
         if isinstance(self.baseline, str):
@@ -103,6 +112,13 @@ class REINFORCE:
     # ---- loss (reference `reinforce.py:71-111` calculate_loss) ----
 
     def loss(self, params, baseline_state, instances, key):
+        from rl4co_tpu.rl.baselines import RolloutBaseline
+
+        if (
+            self.fused_rollout_baseline
+            and isinstance(self.baseline, RolloutBaseline)
+        ):
+            return self._fused_loss(params, baseline_state, instances, key)
         out = rollout(
             self.policy, params, self.env, instances, key, self.train_spec
         )
@@ -121,6 +137,42 @@ class REINFORCE:
             "entropy": out.entropy.mean(),
         }
         return loss, (metrics, out)
+
+    def _fused_loss(self, params, baseline_state, instances, key):
+        """Sampling rollout + rollout-baseline greedy re-rollout in ONE
+        vmapped scan: member 0 = live params at the spec temperature,
+        member 1 = baseline snapshot params at τ→0 (exact greedy — after
+        tanh clipping logits are in [-clip, clip], so /1e-9 sharpens the
+        categorical to its argmax in f32). Same math as the unfused path
+        (member 1 is under stop_gradient; the stack isolates member 0's
+        gradient), half the sequential decode steps."""
+        stacked = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, jax.lax.stop_gradient(b)]),
+            params, baseline_state.bl_params,
+        )
+        temps = jnp.array([self.train_spec.temperature, 1e-9], jnp.float32)
+
+        outs = jax.vmap(
+            lambda p, t: rollout(
+                self.policy, p, self.env, instances, key, self.train_spec,
+                temperature_override=t,
+            )
+        )(stacked, temps)
+        reward = outs.reward[0]
+        ll = outs.log_likelihood[0]
+        bl_val = jax.lax.stop_gradient(outs.reward[1])
+        advantage = reward - bl_val
+        reinforce_loss = -(advantage * ll).mean()
+        metrics = {
+            "loss": reinforce_loss,
+            "reinforce_loss": reinforce_loss,
+            "bl_loss": jnp.float32(0.0),
+            "reward": reward.mean(),
+            "bl_val": bl_val.mean(),
+            "entropy": outs.entropy[0].mean(),
+        }
+        out = jax.tree_util.tree_map(lambda x: x[0], outs)
+        return reinforce_loss, (metrics, out)
 
     # ---- train step factory ----
 

@@ -216,3 +216,44 @@ def test_trainer_uses_chunked_dispatch():
     assert int(state.step) == 3
     its = [r["it"] for r in records if "it" in r and "loss" in r]
     assert its == [2]  # one dispatch, logged under its last global step
+
+
+def test_fused_rollout_baseline_matches_unfused():
+    """fused_rollout_baseline runs the sampling rollout and the baseline's
+    greedy re-rollout in ONE vmapped scan (member 1: snapshot params at
+    τ→0 = exact greedy). Same key -> identical sampled trajectory, so
+    loss, bl_val, and grads must match the unfused path."""
+    import numpy as np
+
+    from rl4co_tpu.decoding import DecodeSpec
+    from rl4co_tpu.envs import get_env
+    from rl4co_tpu.models import AttentionModelPolicy
+    from rl4co_tpu.rl.reinforce import REINFORCE
+
+    env = get_env("tsp", num_loc=10)
+    policy = AttentionModelPolicy(env_name="tsp", embed_dim=32,
+                                  num_encoder_layers=1,
+                                  feedforward_hidden=64, num_heads=2)
+
+    def mk(fused):
+        return REINFORCE(env=env, policy=policy, baseline="rollout",
+                         train_spec=DecodeSpec(kind="sampling",
+                                               tanh_clipping=10.0),
+                         fused_rollout_baseline=fused)
+
+    a0, a1 = mk(False), mk(True)
+    s0 = a0.init(jax.random.PRNGKey(0))
+    s1 = a1.init(jax.random.PRNGKey(0))
+    inst = env.generate_batch(jax.random.PRNGKey(5), 16)
+    key = jax.random.PRNGKey(7)
+    (l0, (m0, _)), g0 = jax.value_and_grad(a0.loss, has_aux=True)(
+        s0.params, s0.baseline_state, inst, key)
+    (l1, (m1, _)), g1 = jax.value_and_grad(a1.loss, has_aux=True)(
+        s1.params, s1.baseline_state, inst, key)
+    np.testing.assert_allclose(float(m0["bl_val"]), float(m1["bl_val"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-4, atol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-3, atol=2e-5)

@@ -59,8 +59,11 @@ class REINFORCE:
     # (τ→0 = exact greedy under the sharpened categorical). Halves the
     # sequential decode steps per train step — the small-batch train step
     # is scan-latency-bound, not FLOPs-bound (618k env-steps/s at TSP-100
-    # batch 512 where the 25.6k-wide eval rollout hits 6.9M). Opt-in until
-    # measured on hardware.
+    # batch 512 where the 25.6k-wide eval rollout hits 6.9M). MEASURED
+    # round 4 (runs/ab_fused_train.json): 1.003x on the chip — the step is
+    # compute/HBM-bound, vmapping doubles per-step work while halving
+    # steps. Kept opt-in as a validated equivalence (loss/grad-identical,
+    # tested); not a performance lever on this hardware.
     fused_rollout_baseline: bool = False
 
     def __post_init__(self):

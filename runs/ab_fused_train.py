@@ -63,7 +63,8 @@ def main():
     r_fused = arm(True)
     out = {"unfused": r_unfused, "fused": r_fused,
            "speedup": round(r_fused / r_unfused, 3),
-           "config": {"batch": BATCH, "num_loc": NUM_LOC, "chunk": CHUNK}}
+           "config": {"batch": BATCH, "num_loc": NUM_LOC, "chunk": CHUNK},
+           "argv": sys.argv, "cmd": "python " + " ".join(sys.argv)}
     with open(os.path.join(ROOT, "runs", "ab_fused_train.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)

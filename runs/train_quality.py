@@ -174,6 +174,10 @@ def main(argv=None):
                     help="wall-time budget: stop after the first epoch that "
                          "ends past this, checkpoint, and run the final eval")
     ap.add_argument("--tag", default="", help="suffix for output files")
+    ap.add_argument("--dispatch-chunk", type=int, default=None,
+                    help="override steps fused per dispatch (smaller = "
+                         "smaller XLA program; the batch-2048 AM-XL "
+                         "program at chunk 125 crashed the TPU worker)")
     args = ap.parse_args(argv)
 
     p = dict(PRESETS[args.preset])
@@ -199,6 +203,7 @@ def main(argv=None):
         log_every=200,
         ckpt_dir=ckpt_dir,
         max_hours=args.max_hours,
+        steps_per_dispatch=args.dispatch_chunk,
     )
     log_path = os.path.join(RUNS, f"{name}.jsonl")
     logger = MultiLogger(

@@ -66,6 +66,64 @@ TRAIN_BATCH = int(os.environ.get("RL4CO_BENCH_TRAIN_BATCH", 512))
 TRAIN_CHUNK = int(os.environ.get("RL4CO_BENCH_TRAIN_CHUNK", 125))
 TRAIN_DISPATCHES = int(os.environ.get("RL4CO_BENCH_TRAIN_DISPATCHES", 2))
 
+# TPU v5e ("v5 lite") single-chip peaks, for MFU / roofline accounting
+# (public spec: 197 TFLOP/s bf16, 819 GB/s HBM, 16 GB). Ridge point
+# ~240 FLOP/byte: programs below it are HBM-bound at best.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES_PER_S = 819e9
+
+
+def am_flops_per_env_step(phase: str, n=None, d=128, h=8, ff=512, layers=3):
+    """Analytic FLOPs per counted env-step for the AM policy (2·MAC convention).
+
+    Mirrors the actual program structure (encoder once per instance, cached
+    K/V decoder per token — `models/policies/constructive.py`), so it is the
+    denominator-of-record for MFU; XLA's `compiled.cost_analysis()` is
+    reported alongside as a cross-check (it counts `lax.scan` bodies once,
+    so it undercounts scanned programs by ~the trip count).
+
+      encoder(N) = L·(4·N·d²·2 [QKV+out] + 2·N²·d·2 [scores+mix]
+                   + 2·N·d·ff·2 [FFN]) + 2·N·2·d [coord embed]
+      decode/token ≈ 3·d²·2 [amortized K/V/logit-K precompute]
+                   + 4·d²·2 [context+glimpse Q/out projections]
+                   + 3·N·d·2 [glimpse scores+mix, pointer logits]
+
+    rollout phase counts B·S·N env-steps (encoder amortized over S·N);
+    train phase counts B·N and runs sampling fwd + backward (≈2× fwd) +
+    rollout-baseline greedy fwd ≈ 4× one fwd.
+    """
+    n = n if n is not None else NUM_LOC
+    enc = layers * (4 * n * d * d * 2 + 2 * n * n * d * 2 + 2 * n * d * ff * 2)
+    enc += 2 * n * 2 * d
+    dec = 3 * d * d * 2 + 4 * d * d * 2 + 3 * n * d * 2
+    if phase == "rollout":
+        return enc / (NUM_STARTS * n) + dec
+    if phase == "train":
+        return 4.0 * (enc / n + dec)
+    raise ValueError(phase)
+
+
+def xla_cost_analysis(jitted, *args):
+    """Best-effort XLA cost analysis of a compiled executable (flops/bytes).
+
+    On the axon remote backend the executable may not expose cost analysis;
+    degrade to the HLO-level estimate, then to None (never fail the bench).
+    """
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        out = {}
+        if ca.get("flops"):
+            out["flops"] = float(ca["flops"])
+        if ca.get("bytes accessed"):
+            out["bytes_accessed"] = float(ca["bytes accessed"])
+        return out or None
+    except Exception:
+        return None
+
+
 # Hard per-phase wall-clock budgets (compile + run). The driver's overall
 # budget is ~10 min; keep rollout + train + overhead safely inside it.
 # Phases share a deadline: a fast rollout phase donates its leftover budget
@@ -120,7 +178,16 @@ def bench_rollout():
         reward = fwd(params, instances, jax.random.fold_in(key, i))
     np.asarray(reward)
     dt = time.perf_counter() - t0
-    return BATCH * NUM_STARTS * NUM_LOC * ITERS / dt
+    rate = BATCH * NUM_STARTS * NUM_LOC * ITERS / dt
+    extra = {
+        "ms_per_call": round(1e3 * dt / ITERS, 2),
+        **_mfu_fields("rollout", rate),
+    }
+    xla = xla_cost_analysis(fwd, params, instances, key)
+    if xla:
+        # caveat: XLA counts the decode lax.scan body once (~N× undercount)
+        extra["xla_cost_analysis_per_call"] = xla
+    return rate, extra
 
 
 def bench_train_step():
@@ -158,7 +225,34 @@ def bench_train_step():
         state, m = step(state, key)
         np.asarray(m["loss"])
     dt = time.perf_counter() - t0
-    return TRAIN_BATCH * NUM_LOC * TRAIN_CHUNK * TRAIN_DISPATCHES / dt
+    rate = TRAIN_BATCH * NUM_LOC * TRAIN_CHUNK * TRAIN_DISPATCHES / dt
+    extra = {
+        "ms_per_step": round(1e3 * dt / (TRAIN_CHUNK * TRAIN_DISPATCHES), 2),
+        **_mfu_fields("train", rate),
+    }
+    # cost analysis needs a non-donated lowering (donated buffers are gone);
+    # lower a fresh non-donating copy of the same program.
+    xla = xla_cost_analysis(
+        algo.make_train_step(TRAIN_BATCH, chunk=TRAIN_CHUNK, donate=False),
+        state, key,
+    )
+    if xla:
+        # caveat: XLA counts the chunk lax.scan body once (~chunk× undercount)
+        extra["xla_cost_analysis_per_dispatch"] = xla
+    return rate, extra
+
+
+def _mfu_fields(phase: str, rate: float) -> dict:
+    """Achieved TFLOP/s + MFU vs the v5e bf16 peak, from the analytic model
+    (VERDICT r4 #2: make the ≥5× target falsifiable with achieved-compute
+    accounting; see also runs/ROOFLINE.md)."""
+    flops_per_env_step = am_flops_per_env_step(phase)
+    tflops = flops_per_env_step * rate / 1e12
+    return {
+        "flops_per_env_step_analytic": round(flops_per_env_step, 0),
+        "tflops_per_s_achieved": round(tflops, 3),
+        "mfu_vs_v5e_bf16_peak": round(tflops * 1e12 / V5E_PEAK_BF16_FLOPS, 5),
+    }
 
 
 def _run_phase(name, deadline):
@@ -170,7 +264,7 @@ def _run_phase(name, deadline):
     """
     budget = min(PHASE_BUDGET_S[name], deadline - time.monotonic())
     if budget < 30.0:
-        return None, "skipped: no budget left"
+        return None, "skipped: no budget left", {}
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", name],
@@ -178,29 +272,29 @@ def _run_phase(name, deadline):
             env=os.environ.copy(),
         )
     except subprocess.TimeoutExpired:
-        return None, f"skipped: compile budget ({budget:.0f}s)"
+        return None, f"skipped: compile budget ({budget:.0f}s)", {}
     if proc.returncode != 0:
         tail = (proc.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
-        return None, f"error: {tail[0][:200]}"
+        return None, f"error: {tail[0][:200]}", {}
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             obj = json.loads(line)
             if "rate" in obj:
-                return float(obj["rate"]), None
+                return float(obj["rate"]), None, obj.get("extra", {})
         except (ValueError, KeyError):
             continue
-    return None, "error: no rate line in phase output"
+    return None, "error: no rate line in phase output", {}
 
 
 def main():
     if "--phase" in sys.argv:
         name = sys.argv[sys.argv.index("--phase") + 1]
-        rate = {"rollout": bench_rollout, "train": bench_train_step}[name]()
-        print(json.dumps({"phase": name, "rate": rate}), flush=True)
+        rate, extra = {"rollout": bench_rollout, "train": bench_train_step}[name]()
+        print(json.dumps({"phase": name, "rate": rate, "extra": extra}), flush=True)
         return
 
     deadline = time.monotonic() + TOTAL_BUDGET_S
-    rollout_rate, rollout_note = _run_phase("rollout", deadline)
+    rollout_rate, rollout_note, rollout_extra = _run_phase("rollout", deadline)
     # Partial line, flushed immediately: if the train phase (or this process)
     # dies, the driver's tail-parse still captures the rollout number.
     partial = {
@@ -210,11 +304,12 @@ def main():
         "vs_baseline": round(rollout_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3)
         if rollout_rate else None,
     }
+    partial.update(rollout_extra)
     if rollout_note:
         partial["note"] = rollout_note
     print(json.dumps(partial), flush=True)
 
-    train_rate, train_note = _run_phase("train", deadline)
+    train_rate, train_note, train_extra = _run_phase("train", deadline)
 
     # Second chance for the headline metric: a rollout phase that lost its
     # slot to a cold compile often succeeds on retry — the timed-out
@@ -222,7 +317,7 @@ def main():
     # cache, and the tunnel is warmer (rounds 2-3: the retry pattern was
     # manual; a warm rerun is <30 s).
     if rollout_rate is None and deadline - time.monotonic() > 60.0:
-        rollout_rate, retry_note = _run_phase("rollout", deadline)
+        rollout_rate, retry_note, rollout_extra = _run_phase("rollout", deadline)
         if rollout_rate is not None:
             rollout_note = None
             partial = {
@@ -230,6 +325,7 @@ def main():
                 "value": round(rollout_rate, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(rollout_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3),
+                **rollout_extra,
                 "note": "second attempt (first hit compile budget)",
             }
             print(json.dumps(partial), flush=True)
@@ -247,7 +343,14 @@ def main():
         "rollout_vs_baseline_estimate": round(
             rollout_rate / A100_ESTIMATE_ENV_STEPS_PER_S, 3
         ) if rollout_rate else None,
+        **{f"train_{k}" if not k.startswith("xla") else k: v
+           for k, v in train_extra.items()},
+        **({"rollout_mfu_vs_v5e_bf16_peak":
+            rollout_extra["mfu_vs_v5e_bf16_peak"]}
+           if "mfu_vs_v5e_bf16_peak" in rollout_extra else {}),
     }
+    if "mfu_vs_v5e_bf16_peak" in train_extra:
+        out["mfu"] = train_extra["mfu_vs_v5e_bf16_peak"]
     if train_note:
         out["train_note"] = train_note
     if rollout_note:

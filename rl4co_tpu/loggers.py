@@ -178,6 +178,23 @@ class MLflowFileLogger:
         self._step = max(self._step + 1, step + 1)
 
 
+def _init_guard(backend: str, ctor):
+    """Run a remote-logger constructor; missing package -> silent no-op,
+    any other init failure (bad project, auth) -> one stderr warning before
+    degrading, so misconfiguration doesn't silently discard metrics
+    (ADVICE r4 #5). Returns the run object or None."""
+    import sys
+
+    try:
+        return ctor()
+    except ImportError:
+        return None
+    except Exception as e:  # noqa: BLE001 — degrade, but say so
+        print(f"[rl4co-tpu] {backend} logger init failed ({type(e).__name__}: "
+              f"{e}); continuing without {backend} logging", file=sys.stderr)
+        return None
+
+
 class NeptuneLogger:
     """Neptune adapter (reference `configs/logger/neptune.yaml`). The
     `neptune` package is not on this image, so the import is guarded and the
@@ -185,12 +202,12 @@ class NeptuneLogger:
     metric is appended to the run's series of the same name."""
 
     def __init__(self, project: Optional[str] = None, **kwargs):
-        try:
+        def ctor():
             import neptune  # type: ignore
 
-            self.run = neptune.init_run(project=project, **kwargs)
-        except Exception:
-            self.run = None
+            return neptune.init_run(project=project, **kwargs)
+
+        self.run = _init_guard("neptune", ctor)
 
     def __call__(self, metrics: dict) -> None:
         if self.run is None:
@@ -211,12 +228,12 @@ class CometLogger:
     import, no-op without the `comet_ml` package."""
 
     def __init__(self, project_name: str = "rl4co-tpu", **kwargs):
-        try:
+        def ctor():
             import comet_ml  # type: ignore
 
-            self.exp = comet_ml.Experiment(project_name=project_name, **kwargs)
-        except Exception:
-            self.exp = None
+            return comet_ml.Experiment(project_name=project_name, **kwargs)
+
+        self.exp = _init_guard("comet", ctor)
 
     def __call__(self, metrics: dict) -> None:
         if self.exp is None:
@@ -244,12 +261,12 @@ class AimLogger:
     no-op without the `aim` package."""
 
     def __init__(self, repo: Optional[str] = None, experiment: str = "rl4co-tpu"):
-        try:
+        def ctor():
             import aim  # type: ignore
 
-            self.run = aim.Run(repo=repo, experiment=experiment)
-        except Exception:
-            self.run = None
+            return aim.Run(repo=repo, experiment=experiment)
+
+        self.run = _init_guard("aim", ctor)
 
     def __call__(self, metrics: dict) -> None:
         if self.run is None:

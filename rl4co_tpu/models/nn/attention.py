@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rl4co_tpu.models.nn.ops import TPDense
+
 MASK_VALUE = -1e9  # large-negative instead of -inf: keeps softmax NaN-free
 
 
@@ -57,7 +59,8 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
-        qkv = nn.Dense(3 * self.embed_dim, use_bias=self.use_bias, dtype=self.dtype, name="Wqkv")(x)
+        qkv = TPDense(3 * self.embed_dim, use_bias=self.use_bias, dtype=self.dtype,
+                      tp_role="col", name="Wqkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _split_heads(q, self.num_heads)
         k = _split_heads(k, self.num_heads)
@@ -67,7 +70,8 @@ class MultiHeadAttention(nn.Module):
             mask = mask[..., None, None, :]
         out = scaled_dot_product_attention(q, k, v, mask)
         out = _merge_heads(out)
-        return nn.Dense(self.embed_dim, use_bias=self.use_bias, dtype=self.dtype, name="out_proj")(out)
+        return TPDense(self.embed_dim, use_bias=self.use_bias, dtype=self.dtype,
+                       tp_role="row", name="out_proj")(out)
 
 
 class MultiHeadCrossAttention(nn.Module):
@@ -87,8 +91,10 @@ class MultiHeadCrossAttention(nn.Module):
         kv_input: jax.Array,
         cross_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        q = nn.Dense(self.embed_dim, use_bias=self.use_bias, name="Wq")(q_input)
-        kv = nn.Dense(2 * self.embed_dim, use_bias=self.use_bias, name="Wkv")(kv_input)
+        q = TPDense(self.embed_dim, use_bias=self.use_bias,
+                    tp_role="col", name="Wq")(q_input)
+        kv = TPDense(2 * self.embed_dim, use_bias=self.use_bias,
+                     tp_role="col", name="Wkv")(kv_input)
         k, v = jnp.split(kv, 2, axis=-1)
         q = _split_heads(q, self.num_heads)
         k = _split_heads(k, self.num_heads)
@@ -97,7 +103,8 @@ class MultiHeadCrossAttention(nn.Module):
             cross_mask = cross_mask[..., None, None, :]
         out = scaled_dot_product_attention(q, k, v, cross_mask)
         out = _merge_heads(out)
-        return nn.Dense(self.embed_dim, use_bias=self.use_bias, name="out_proj")(out)
+        return TPDense(self.embed_dim, use_bias=self.use_bias,
+                       tp_role="row", name="out_proj")(out)
 
 
 def pointer_logits(

@@ -83,6 +83,27 @@ def init_policy_params(policy: ConstructivePolicy, env: Env, key: jax.Array):
     return policy.init(kinit, instances, state, mask)
 
 
+def policy_tp_roles(policy: ConstructivePolicy, env: Env,
+                    key: Optional[jax.Array] = None):
+    """Extract the structural tensor-parallel markers (TPDense ``tp_role``).
+
+    Runs a 2-instance init with the ``intermediates`` collection mutable and
+    returns that collection — feed it to
+    `parallel.mesh.shard_params_model_axis(roles=...)` so megatron pairing
+    keys on module structure instead of parameter-path strings
+    (VERDICT r4 #8). Parameter pytrees are unaffected (markers live outside
+    the ``params`` collection).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    kgen, kinit = jax.random.split(key)
+    instances = env.generate_batch(kgen, 2)
+    state = env.reset_batch(instances)
+    mask = env.action_mask_batch(state)
+    variables = policy.init(kinit, instances, state, mask,
+                            mutable=["params", "intermediates"])
+    return variables.get("intermediates", {})
+
+
 def rollout(
     policy: ConstructivePolicy,
     params,

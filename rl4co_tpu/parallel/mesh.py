@@ -54,17 +54,54 @@ def constrain_dp(tree, mesh: Optional[Mesh]):
     return jax.lax.with_sharding_constraint(tree, NamedSharding(mesh, P("dp")))
 
 
-# Path fragments of the *second* matmul of a megatron pair: its input
-# features are already model-sharded by the first matmul, so row-sharding it
-# lets GSPMD keep the intermediate sharded and emit ONE reduce per block
-# instead of an all-gather between every pair of matmuls (ADVICE r3).
+# Fallback path fragments of the *second* matmul of a megatron pair: its
+# input features are already model-sharded by the first matmul, so
+# row-sharding it lets GSPMD keep the intermediate sharded and emit ONE
+# reduce per block instead of an all-gather between every pair of matmuls
+# (ADVICE r3). Used only when no structural `roles` tree is supplied —
+# the robust path is the TPDense tp_role markers (VERDICT r4 #8).
 _ROW_SHARDED = ("ffn']['Dense_1", "mha']['out_proj")
 # (The first matmul of each pair — FFN up-projection, fused QKV — falls
 # under the generic column-shard rule below, splitting the wide
 # intermediate across `model`.)
 
 
-def shard_params_model_axis(params, mesh: Mesh, min_dim: int = 128):
+def tp_role_lookup(roles) -> dict:
+    """Flatten a TPDense marker tree into ``{module-path: role}``.
+
+    ``roles`` is the ``intermediates`` collection from
+    ``policy.init(..., mutable=["params", "intermediates"])`` — string
+    leaves named ``tp_role`` under each marked module's scope (see
+    `models/nn/ops.py` TPDense). Keys are "/"-joined scope names, e.g.
+    ``encoder_net/layer_0/mha/out_proj``.
+    """
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(
+        roles, is_leaf=lambda x: isinstance(x, str))[0]
+    for path, leaf in flat:
+        if not isinstance(leaf, str):
+            continue
+        keys = []
+        for p in path:
+            name = getattr(p, "key", getattr(p, "idx", None))
+            if name == "tp_role":
+                break
+            keys.append(str(name))
+        out["/".join(keys)] = leaf
+    return out
+
+
+def _param_module_path(path) -> str:
+    """Module scope of a param leaf: drop the leaf name (kernel/bias) and a
+    leading 'params' collection key."""
+    keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path[:-1]]
+    if keys and keys[0] == "params":
+        keys = keys[1:]
+    return "/".join(keys)
+
+
+def shard_params_model_axis(params, mesh: Mesh, min_dim: int = 128,
+                            roles=None):
     """Tensor-parallel parameter placement over the ``model`` axis (GSPMD).
 
     Megatron-style paired sharding of the encoder blocks: the first matmul
@@ -77,8 +114,19 @@ def shard_params_model_axis(params, mesh: Mesh, min_dim: int = 128):
     everything else replicated. XLA/GSPMD propagates the shardings and
     inserts the collectives — no hand-written psum. With ``model=1`` this
     is exactly :func:`replicate`.
+
+    ``roles``: structural TP markers — either the raw ``intermediates``
+    collection from a marker-extracting init (see
+    `constructive.policy_tp_roles`) or a pre-flattened
+    :func:`tp_role_lookup` dict. When given, megatron pairing keys on the
+    markers (robust to module renames); otherwise the historical
+    path-fragment match is used.
     """
     m = mesh.shape["model"]
+    lookup = None
+    if roles is not None:
+        lookup = roles if isinstance(roles, dict) and all(
+            isinstance(v, str) for v in roles.values()) else tp_role_lookup(roles)
 
     def place(path, x):
         nd = getattr(x, "ndim", 0)
@@ -95,8 +143,12 @@ def shard_params_model_axis(params, mesh: Mesh, min_dim: int = 128):
                     x, NamedSharding(mesh, P(*(("model",) + (None,) * (nd - 1))))
                 )
             if nd == 2:
-                if (any(f in name for f in _ROW_SHARDED)
-                        and x.shape[0] % m == 0 and x.shape[0] >= min_dim):
+                if lookup is not None:
+                    role = lookup.get(_param_module_path(path), "none")
+                    row = role == "row"
+                else:
+                    row = any(f in name for f in _ROW_SHARDED)
+                if row and x.shape[0] % m == 0 and x.shape[0] >= min_dim:
                     return jax.device_put(x, NamedSharding(mesh, P("model", None)))
                 if x.shape[1] % m == 0 and x.shape[1] >= min_dim:
                     return jax.device_put(x, NamedSharding(mesh, P(None, "model")))

@@ -82,6 +82,25 @@ class Trainer:
         resume_from: Optional[str] = None,
         val_datasets: Optional[dict] = None,
     ) -> Any:
+        """Run the training loop (logger teardown guaranteed — see _fit).
+
+        See :meth:`_fit` for the argument docs.
+        """
+        try:
+            return self._fit(resume_from, val_datasets)
+        finally:
+            # teardown on ANY exit — exception or Ctrl-C included, so
+            # MLflow runs don't stay status RUNNING forever and buffered
+            # remote-backend metrics are flushed (ADVICE r4 #1)
+            fin = getattr(self.logger, "finalize", None)
+            if callable(fin):
+                fin()
+
+    def _fit(
+        self,
+        resume_from: Optional[str] = None,
+        val_datasets: Optional[dict] = None,
+    ) -> Any:
         """Run the training loop.
 
         Args:
@@ -246,10 +265,6 @@ class Trainer:
                              "max_hours": cfg.max_hours})
                 break
 
-        # logger teardown (MLflow FINISHED status, remote-backend run close)
-        fin = getattr(self.logger, "finalize", None)
-        if callable(fin):
-            fin()
         return state
 
     @staticmethod

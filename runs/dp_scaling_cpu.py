@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Weak-scaling efficiency curve over 1/2/4 jax.distributed processes (CPU).
+
+Consolidates the per-step wall times that tests/test_distributed.py
+measures ad hoc into one artifact (VERDICT r4 #9): each process owns ONE
+CPU device, the dp mesh spans processes, and the global batch grows with
+the process count (per-device batch constant), so
+``efficiency(n) = t_step(1) / t_step(n)`` is the weak-scaling number the
+multi-host target (>=0.8 @ 4 hosts, BASELINE.json north_star) is phrased
+in. gRPC-over-localhost stands in for DCN; real ICI collectives are
+exercised separately by the 8-device dryrun (`__graft_entry__.py`).
+
+Usage:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python runs/dp_scaling_cpu.py
+Output: runs/dp_scaling_cpu.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(ROOT, "tests", "_distributed_child.py")
+
+PER_DEVICE_BATCH = 16
+N_STEPS = 8
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_nprocs(nprocs: int) -> dict:
+    port = _free_port()
+    env = os.environ.copy()
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # never dial the TPU tunnel from here
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"rank{i}.json") for i in range(nprocs)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, CHILD, str(i), str(nprocs), str(port),
+                 outs[i], str(N_STEPS), str(PER_DEVICE_BATCH * nprocs)],
+                env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(nprocs)
+        ]
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err[-2000:]
+        results = [json.load(open(o)) for o in outs]
+    # steady state: drop step 0 (compile); a rank's wall is its own fetch
+    # latency — the slowest rank bounds the global step
+    steady = max(
+        sum(r["steps"][i]["step_s"] for i in range(1, N_STEPS)) / (N_STEPS - 1)
+        for r in results
+    )
+    return {
+        "num_processes": nprocs,
+        "global_batch": PER_DEVICE_BATCH * nprocs,
+        "per_device_batch": PER_DEVICE_BATCH,
+        "steady_step_s_max_rank": steady,
+        "losses_bitwise_identical_across_ranks": all(
+            r["steps"] == results[0]["steps"] or all(
+                (s0["loss"], s0["reward"]) == (s1["loss"], s1["reward"])
+                for s0, s1 in zip(results[0]["steps"], r["steps"])
+            )
+            for r in results
+        ),
+    }
+
+
+def main():
+    rows = [run_nprocs(n) for n in (1, 2, 4)]
+    t1 = rows[0]["steady_step_s_max_rank"]
+    for r in rows:
+        r["weak_scaling_efficiency"] = round(
+            t1 / r["steady_step_s_max_rank"], 4)
+    out = {
+        "what": ("weak-scaling dp efficiency over jax.distributed processes "
+                 "(1 CPU device per process, gRPC collectives; the closest "
+                 "single-machine stand-in for the >=0.8 @ 4-host target)"),
+        "recipe": {"model": "AM-16/1-layer", "env": "tsp-8",
+                   "per_device_batch": PER_DEVICE_BATCH, "n_steps": N_STEPS},
+        "rows": rows,
+        "caveat": ("CPU wall times include Python dispatch and localhost "
+                   "gRPC; on a real pod slice the collectives ride ICI and "
+                   "the per-step work is thousands of times larger, so this "
+                   "curve is a lower bound on achievable efficiency."),
+    }
+    path = os.path.join(ROOT, "runs", "dp_scaling_cpu.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(rows, indent=1))
+    print("WROTE", path)
+
+
+if __name__ == "__main__":
+    main()

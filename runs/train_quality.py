@@ -106,6 +106,13 @@ PRESETS = {
                            batch_size=512, train_data_size=640_000, epochs=100,
                            lr=1e-4, val_batch_size=512,
                            eval_methods=("greedy",)),
+    # Remedy experiment for the r4 multi-task-interference finding
+    # (VERDICT r4 #5): same mixed config, MVMoE-style MoE trunk + pointer
+    # (reference `zoo/mvmoe/model.py:14-74`) so capacity routes per-task.
+    "mixed_op_pctsp_moe": dict(env="op,pctsp", num_loc=20,
+                               model="am-multienv-moe", batch_size=512,
+                               train_data_size=640_000, epochs=100, lr=1e-4,
+                               val_batch_size=512, eval_methods=("greedy",)),
     # Single-env controls for the mixed run (VERDICT r2 §7): same per-env
     # sample budget — the mixed preset splits 640k samples/epoch across two
     # envs, so each control trains on 320k/epoch of its one env.
@@ -154,12 +161,21 @@ def build_preset(p: dict, precision: str = "bf16-mixed"):
         policy = make_pomo_policy(env.name)
         algo = POMO(env=env, policy=policy, train_spec=train_spec, lr=p["lr"],
                     optimizer=opt_name, lr_schedule=schedule)
-    elif p["model"] == "am-multienv":
+    elif p["model"] in ("am-multienv", "am-multienv-moe"):
         from rl4co_tpu.rl.multi_env import MultiEnvREINFORCE
 
         envs = {n: get_env(n, num_loc=p["num_loc"])
                 for n in p["env"].split(",")}
-        algo = MultiEnvREINFORCE(envs=envs, train_spec=train_spec, lr=p["lr"])
+        policy = None
+        if p["model"] == "am-multienv-moe":
+            from rl4co_tpu.models.policies.multi_env import MultiEnvMoEPolicy
+
+            policy = MultiEnvMoEPolicy(
+                env_name=next(iter(envs)), env_names=tuple(envs),
+                num_experts=4, moe_topk=2,
+            )
+        algo = MultiEnvREINFORCE(envs=envs, policy=policy,
+                                 train_spec=train_spec, lr=p["lr"])
         env = algo.env
     else:
         raise ValueError(p["model"])

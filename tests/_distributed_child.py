@@ -52,7 +52,10 @@ def main():
 
     mesh = make_mesh(dp=nprocs)  # spans both processes
     state = replicate(algo.init(jax.random.PRNGKey(0)), mesh)
-    step = algo.make_train_step(16, mesh=mesh, donate=False)
+    # optional global batch override (argv[6]) — runs/dp_scaling_cpu.py uses
+    # batch = per_device x nprocs for a weak-scaling efficiency curve
+    batch = int(sys.argv[6]) if len(sys.argv) > 6 else 16
+    step = algo.make_train_step(batch, mesh=mesh, donate=False)
 
     n_steps = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     records = []

@@ -227,3 +227,69 @@ def test_expert_parallel_moe_matches_replicated():
     _, m2 = algo.make_train_step(16, mesh=mesh_2d, donate=False)(s2, key)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_tp_roles_match_fragment_placement_and_survive_rename():
+    """Structural TPDense markers (VERDICT r4 #8): role-based placement must
+    (a) reproduce the historical path-fragment placement exactly on the
+    stock AM policy, and (b) keep row-sharding when modules are renamed —
+    where the fragment match silently degrades to column/replicated."""
+    import flax.linen as nn
+
+    from rl4co_tpu.models.nn.attention import MultiHeadAttention
+    from rl4co_tpu.models.nn.ops import TransformerFFN
+    from rl4co_tpu.models.policies.constructive import (
+        init_policy_params, policy_tp_roles,
+    )
+    from rl4co_tpu.parallel.mesh import shard_params_model_axis, tp_role_lookup
+
+    env = get_env("tsp", num_loc=8)
+    policy = AttentionModelPolicy(env_name="tsp", embed_dim=16,
+                                  num_encoder_layers=1, feedforward_hidden=32,
+                                  num_heads=2, normalization="instance")
+    params = init_policy_params(policy, env, jax.random.PRNGKey(0))
+    roles = policy_tp_roles(policy, env)
+    lookup = tp_role_lookup(roles)
+    assert any(v == "row" for v in lookup.values()), lookup
+
+    mesh_2d = make_mesh(devices=jax.devices()[:4], dp=2, model=2)
+    by_fragment = shard_params_model_axis(params, mesh_2d, min_dim=8)
+    by_roles = shard_params_model_axis(params, mesh_2d, min_dim=8,
+                                       roles=roles)
+    frag_flat, _ = jax.tree_util.tree_flatten_with_path(by_fragment)
+    role_flat, _ = jax.tree_util.tree_flatten_with_path(by_roles)
+    for (p1, x1), (p2, x2) in zip(frag_flat, role_flat):
+        assert str(x1.sharding.spec) == str(x2.sharding.spec), (
+            jax.tree_util.keystr(p1), x1.sharding.spec, x2.sharding.spec)
+
+    # (b) renamed scopes: 'attn'/'feedforward' defeat the "mha']['out_proj"
+    # and "ffn']['Dense_1" fragments but not the structural markers
+    class RenamedBlock(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = MultiHeadAttention(embed_dim=16, num_heads=2, name="attn")(x)
+            return TransformerFFN(embed_dim=16, feedforward_hidden=32,
+                                  name="feedforward")(x)
+
+    block = RenamedBlock()
+    x = jnp.ones((2, 8, 16))
+    variables = block.init(jax.random.PRNGKey(0), x,
+                           mutable=["params", "intermediates"])
+    bparams = {"params": variables["params"]}
+    broles = variables["intermediates"]
+
+    def row_leaves(tree):
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        return sorted(
+            jax.tree_util.keystr(p) for p, x in flat
+            if getattr(x, "ndim", 0) == 2
+            and len(x.sharding.spec) >= 1 and x.sharding.spec[0] == "model"
+        )
+
+    renamed_frag = shard_params_model_axis(bparams, mesh_2d, min_dim=8)
+    renamed_roles = shard_params_model_axis(bparams, mesh_2d, min_dim=8,
+                                            roles=broles)
+    assert row_leaves(renamed_frag) == []  # fragment rule silently degrades
+    rows = row_leaves(renamed_roles)
+    assert any("out_proj" in r for r in rows), rows
+    assert any("Dense_1" in r for r in rows), rows

@@ -35,6 +35,17 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return restored
 
 
+def restore_checkpoint_raw(path: str) -> Any:
+    """Restore without a template: returns the raw pytree (dataclasses come
+    back as plain dicts keyed by field name). Useful for eval-only loads
+    that need just ``["state"]["params"]`` and must not depend on the
+    training run's exact host-state shapes (e.g. the rollout baseline's
+    eval_rewards length)."""
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
 def latest_step_dir(root: str) -> str | None:
     if not os.path.isdir(root):
         return None

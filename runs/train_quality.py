@@ -182,6 +182,92 @@ def build_preset(p: dict, precision: str = "bf16-mixed"):
     return env, algo
 
 
+def final_eval_table(p: dict, algo, env, params, eval_size: int):
+    """Reference-protocol final eval, validity-checked, canonical-dataset
+    aware (VERDICT r4 #4). Returns (table, dataset_provenance).
+
+    Test convention: seed 1234, 10k instances (reference
+    `configs/env/tsp.yaml:8-10`, `data/generate_data.py:214+`); mixed-env
+    presets evaluate every env through its own embedding view
+    (policy.for_env); single-env presets evaluate the one env.
+    """
+    import jax
+
+    from rl4co_tpu.tasks.eval import evaluate_policy
+
+    eval_envs = (
+        {n: e for n, e in algo.envs.items()} if hasattr(algo, "envs")
+        else {p["env"]: env}
+    )
+    table = {}
+    dataset_provenance = {}
+    for env_name, e in eval_envs.items():
+        # Prefer the canonical stored test set (reference convention: test
+        # seed 1234, 10k npz); fall back to on-device generation when no
+        # canonical file exists.
+        canonical = os.path.join(
+            ROOT, "data", env_name, f"test{p['num_loc']}_seed1234.npz")
+        if os.path.exists(canonical) and eval_size <= 10_000:
+            from rl4co_tpu.data.io import load_reference_npz
+            raw = load_reference_npz(canonical, env_name)
+            test = {k: v[:eval_size] for k, v in raw.items()}
+            dataset_provenance[env_name] = {
+                "path": os.path.relpath(canonical, ROOT),
+                "convention": "reference numpy stream, test seed 1234",
+                "n_used": eval_size,
+            }
+        else:
+            test = e.generate_batch(jax.random.PRNGKey(1234), eval_size)
+            dataset_provenance[env_name] = {
+                "path": None,
+                "convention": "on-device jax.random, PRNGKey(1234)",
+                "n_used": eval_size,
+            }
+        opt = OPTIMA.get(env_name, {}).get(p["num_loc"])
+        pol = (algo.policy.for_env(env_name)
+               if hasattr(algo.policy, "for_env") else algo.policy)
+        for method in p["eval_methods"]:
+            last = [0.0]
+
+            def _progress(done, total):
+                # heartbeat for the stall watchdog: long evals are silent
+                # otherwise and a 420 s quiet window reads as a hang
+                now = time.time()
+                if now - last[0] > 60 or done == total:
+                    last[0] = now
+                    print(json.dumps({"eval_progress": f"{done}/{total}",
+                                      "method": method}), flush=True)
+
+            res = evaluate_policy(e, pol, params, test,
+                                  method=method, check_solutions=True,
+                                  progress=_progress)
+            maximize = env_name in MAXIMIZE
+            if maximize:
+                prize = res["mean_reward"]
+                row = {"mean_prize": prize,
+                       "instances_per_s": res["instances_per_s"],
+                       "n_instances": int(res["rewards"].shape[0]),
+                       "validity_checked": True}
+                if opt:
+                    row["gap_pct"] = 100.0 * (opt - prize) / opt
+                    row["optimum_anchor"] = opt
+            else:
+                cost = -res["mean_reward"]
+                row = {"mean_cost": cost,
+                       "instances_per_s": res["instances_per_s"],
+                       "n_instances": int(res["rewards"].shape[0]),
+                       "validity_checked": True}
+                if opt:
+                    row["gap_pct"] = 100.0 * (cost - opt) / opt
+                    row["optimum_anchor"] = opt
+            key_name = (f"{env_name}/{method}" if len(eval_envs) > 1 else method)
+            table[key_name] = row
+            print(json.dumps({"eval": key_name,
+                              **{k: round(v, 4) if _isnum(v) else v
+                                 for k, v in row.items()}}), flush=True)
+    return table, dataset_provenance
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", required=True, choices=sorted(PRESETS))
@@ -244,80 +330,8 @@ def main(argv=None):
     train_h = (time.time() - t0) / 3600
 
     # ---- final eval: reference protocol, validity-checked ----
-    # test convention: seed 1234, 10k instances (reference
-    # `configs/env/tsp.yaml:8-10`, `data/generate_data.py:214+`)
-    # mixed-env presets evaluate every env through its own embedding view
-    # (policy.for_env); single-env presets evaluate the one env
-    eval_envs = (
-        {n: e for n, e in algo.envs.items()} if hasattr(algo, "envs")
-        else {p["env"]: env}
-    )
-    table = {}
-    dataset_provenance = {}
-    for env_name, e in eval_envs.items():
-        # Prefer the canonical stored test set (reference convention: test
-        # seed 1234, 10k npz — `configs/env/tsp.yaml:8-10`); fall back to
-        # on-device generation when no canonical file exists (VERDICT r4 #4).
-        canonical = os.path.join(
-            ROOT, "data", env_name, f"test{p['num_loc']}_seed1234.npz")
-        if os.path.exists(canonical) and args.eval_size <= 10_000:
-            from rl4co_tpu.data.io import load_reference_npz
-            raw = load_reference_npz(canonical, env_name)
-            test = {k: v[: args.eval_size] for k, v in raw.items()}
-            dataset_provenance[env_name] = {
-                "path": os.path.relpath(canonical, ROOT),
-                "convention": "reference numpy stream, test seed 1234",
-                "n_used": args.eval_size,
-            }
-        else:
-            test = e.generate_batch(jax.random.PRNGKey(1234), args.eval_size)
-            dataset_provenance[env_name] = {
-                "path": None,
-                "convention": "on-device jax.random, PRNGKey(1234)",
-                "n_used": args.eval_size,
-            }
-        opt = OPTIMA.get(env_name, {}).get(p["num_loc"])
-        pol = (algo.policy.for_env(env_name)
-               if hasattr(algo.policy, "for_env") else algo.policy)
-        for method in p["eval_methods"]:
-            last = [0.0]
-
-            def _progress(done, total):
-                # heartbeat for the stall watchdog: long evals are silent
-                # otherwise and a 420 s quiet window reads as a hang
-                now = time.time()
-                if now - last[0] > 60 or done == total:
-                    last[0] = now
-                    print(json.dumps({"eval_progress": f"{done}/{total}",
-                                      "method": method}), flush=True)
-
-            res = evaluate_policy(e, pol, state.params, test,
-                                  method=method, check_solutions=True,
-                                  progress=_progress)
-            maximize = env_name in MAXIMIZE
-            if maximize:
-                prize = res["mean_reward"]
-                row = {"mean_prize": prize,
-                       "instances_per_s": res["instances_per_s"],
-                       "n_instances": int(res["rewards"].shape[0]),
-                       "validity_checked": True}
-                if opt:
-                    row["gap_pct"] = 100.0 * (opt - prize) / opt
-                    row["optimum_anchor"] = opt
-            else:
-                cost = -res["mean_reward"]
-                row = {"mean_cost": cost,
-                       "instances_per_s": res["instances_per_s"],
-                       "n_instances": int(res["rewards"].shape[0]),
-                       "validity_checked": True}
-                if opt:
-                    row["gap_pct"] = 100.0 * (cost - opt) / opt
-                    row["optimum_anchor"] = opt
-            key_name = (f"{env_name}/{method}" if len(eval_envs) > 1 else method)
-            table[key_name] = row
-            print(json.dumps({"eval": key_name,
-                              **{k: round(v, 4) if _isnum(v) else v
-                                 for k, v in row.items()}}), flush=True)
+    table, dataset_provenance = final_eval_table(
+        p, algo, env, state.params, args.eval_size)
     epochs_done = 1 + max(
         (int(r["epoch"]) for r in trainer.history if "epoch" in r), default=-1
     )

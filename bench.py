@@ -25,6 +25,12 @@ makes reruns fast once either phase has succeeded once.
 ``vs_baseline`` divides the train-step number by an A100 ESTIMATE (the
 reference publishes no measured numbers and its torch/tensordict stack is
 not installed here — see BASELINE.md); ``baseline_kind`` marks it as such.
+
+Output contract (ADVICE r4 #2): lines are flushed as soon as each phase
+finishes for crash robustness, so the rollout metric can appear twice
+(budget-miss note first, retry success second). Consumers must key on the
+``metric`` field and take the LAST line per metric; the driver's
+tail-parse does exactly this.
 """
 
 import json

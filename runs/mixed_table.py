@@ -7,7 +7,9 @@ Reads runs/{mixed_op_pctsp,op20_single,pctsp20_single}_eval.json, checks
 the budgets are matched (same epochs; the mixed preset's 640k samples/epoch
 split across two envs = 320k per env per epoch = each control's budget),
 and writes runs/mixed_vs_single.json + a markdown table to stdout for
-PARITY.md.
+PARITY.md. If runs/mixed_op_pctsp_moe_eval.json exists (the VERDICT r4 #5
+remedy: MVMoE-style MoE trunk on the same config), a third column reports
+whether capacity routing recovers the specialist gap.
 """
 
 import json
@@ -25,6 +27,9 @@ def main():
             sys.exit(f"missing {path} — run the queue first")
         docs[name] = json.load(open(path))
 
+    moe_path = os.path.join(RUNS, "mixed_op_pctsp_moe_eval.json")
+    moe = json.load(open(moe_path)) if os.path.exists(moe_path) else None
+
     rows = []
     mixed = docs["mixed_op_pctsp"]
     for env, control_name in (("op", "op20_single"), ("pctsp", "pctsp20_single")):
@@ -32,7 +37,7 @@ def main():
         m_row = mixed["eval"][f"{env}/greedy"]
         c_row = ctl["eval"]["greedy"]
         gap_key = "gap_pct"
-        rows.append({
+        row = {
             "env": env,
             "mixed_gap_pct": round(m_row[gap_key], 2),
             "single_gap_pct": round(c_row[gap_key], 2),
@@ -43,7 +48,14 @@ def main():
             "budget_matched": mixed["epochs_trained"] == ctl["epochs_trained"],
             "mixed_instances_per_s": round(m_row["instances_per_s"], 1),
             "single_instances_per_s": round(c_row["instances_per_s"], 1),
-        })
+        }
+        if moe is not None:
+            moe_row = moe["eval"][f"{env}/greedy"]
+            row["mixed_moe_gap_pct"] = round(moe_row[gap_key], 2)
+            row["moe_delta_vs_single_pp"] = round(
+                moe_row[gap_key] - c_row[gap_key], 2)
+            row["moe_epochs"] = moe["epochs_trained"]
+        rows.append(row)
 
     helps = all(r["delta_pp"] <= 0.5 for r in rows)  # within noise or better
     conclusion = (
@@ -53,6 +65,17 @@ def main():
         "mixed training trails the single-env controls at matched budgets "
         "(multi-task interference at this scale)"
     )
+    moe_conclusion = None
+    if moe is not None and all("mixed_moe_gap_pct" in r for r in rows):
+        recovered = all(r["moe_delta_vs_single_pp"] <= 0.5 for r in rows)
+        improved = all(r["mixed_moe_gap_pct"] < r["mixed_gap_pct"] for r in rows)
+        moe_conclusion = (
+            ("MoE capacity routing recovers the specialist gap" if recovered
+             else "MoE trunk narrows but does not close the specialist gap"
+             if improved else
+             "MoE trunk does not improve on the dense shared trunk here")
+            + " (MVMoE-style trunk, same budget; VERDICT r4 #5 remedy)"
+        )
     out = {
         "rows": rows,
         "budget_note": ("mixed trains 640k samples/epoch split across two "
@@ -60,6 +83,8 @@ def main():
                         "matched per-env budgets at equal epoch counts"),
         "conclusion": conclusion,
     }
+    if moe_conclusion:
+        out["moe_conclusion"] = moe_conclusion
     path = os.path.join(RUNS, "mixed_vs_single.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
@@ -71,6 +96,8 @@ def main():
         print(f"| {r['env']}-20 | {r['mixed_gap_pct']} | {r['single_gap_pct']} "
               f"| {r['delta_pp']:+} | {r['mixed_epochs']}/{r['single_epochs']} |")
     print("\nConclusion:", conclusion)
+    if moe_conclusion:
+        print("MoE remedy:", moe_conclusion)
 
 
 if __name__ == "__main__":

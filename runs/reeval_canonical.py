@@ -74,6 +74,9 @@ def main(argv=None):
     table, provenance = final_eval_table(p, algo, env, params, args.eval_size)
     out = {
         "preset": args.preset,
+        "recipe": {k: v for k, v in p.items()
+                   if isinstance(v, (int, float, str, tuple))
+                   and not isinstance(v, bool)},
         "checkpoint": os.path.relpath(ckpt, ROOT),
         "checkpoint_epoch": epoch,
         "eval": table,

@@ -189,6 +189,9 @@ def bench_rollout():
         "ms_per_call": round(1e3 * dt / ITERS, 2),
         **_mfu_fields("rollout", rate),
     }
+    # flush before the best-effort cost analysis (r5 review finding #2)
+    print(json.dumps({"phase": "rollout", "rate": rate, "extra": extra}),
+          flush=True)
     xla = xla_cost_analysis(fwd, params, instances, key)
     if xla:
         # caveat: XLA counts the decode lax.scan body once (~N× undercount)
@@ -236,8 +239,12 @@ def bench_train_step():
         "ms_per_step": round(1e3 * dt / (TRAIN_CHUNK * TRAIN_DISPATCHES), 2),
         **_mfu_fields("train", rate),
     }
-    # cost analysis needs a non-donated lowering (donated buffers are gone);
-    # lower a fresh non-donating copy of the same program.
+    # flush the measurement NOW: the cost analysis below needs a fresh
+    # non-donated compile of the chunk program, whose latency on the axon
+    # tunnel varies 5-10x — it must not be able to time out an
+    # already-successful measurement (r5 review finding #2)
+    print(json.dumps({"phase": "train", "rate": rate, "extra": extra}),
+          flush=True)
     xla = xla_cost_analysis(
         algo.make_train_step(TRAIN_BATCH, chunk=TRAIN_CHUNK, donate=False),
         state, key,
@@ -271,31 +278,41 @@ def _run_phase(name, deadline):
     budget = min(PHASE_BUDGET_S[name], deadline - time.monotonic())
     if budget < 30.0:
         return None, "skipped: no budget left", {}
+    stdout = ""
+    note = None
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", name],
             capture_output=True, text=True, timeout=budget,
             env=os.environ.copy(),
         )
-    except subprocess.TimeoutExpired:
-        return None, f"skipped: compile budget ({budget:.0f}s)", {}
-    if proc.returncode != 0:
-        tail = (proc.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
-        return None, f"error: {tail[0][:200]}", {}
-    for line in reversed(proc.stdout.strip().splitlines()):
+        stdout = proc.stdout or ""
+        if proc.returncode != 0:
+            tail = (proc.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
+            note = f"error: {tail[0][:200]}"
+    except subprocess.TimeoutExpired as e:
+        # phases flush their rate line before any post-measurement work, so
+        # a timeout can still carry a completed measurement (finding #2)
+        raw = e.stdout or b""
+        stdout = raw.decode(errors="replace") if isinstance(raw, bytes) else raw
+        note = f"skipped: compile budget ({budget:.0f}s)"
+    for line in reversed(stdout.strip().splitlines()):
         try:
             obj = json.loads(line)
             if "rate" in obj:
                 return float(obj["rate"]), None, obj.get("extra", {})
         except (ValueError, KeyError):
             continue
-    return None, "error: no rate line in phase output", {}
+    return None, note or "error: no rate line in phase output", {}, {}
 
 
 def main():
     if "--phase" in sys.argv:
         name = sys.argv[sys.argv.index("--phase") + 1]
         rate, extra = {"rollout": bench_rollout, "train": bench_train_step}[name]()
+        # the last rate line wins in _run_phase; phase fns flush a bare rate
+        # line BEFORE any best-effort cost analysis so a slow post-measure
+        # compile can't discard the measurement (r5 review finding #2)
         print(json.dumps({"phase": name, "rate": rate, "extra": extra}), flush=True)
         return
 

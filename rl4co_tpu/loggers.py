@@ -180,14 +180,21 @@ class MLflowFileLogger:
 
 def _init_guard(backend: str, ctor):
     """Run a remote-logger constructor; missing package -> silent no-op,
-    any other init failure (bad project, auth) -> one stderr warning before
-    degrading, so misconfiguration doesn't silently discard metrics
-    (ADVICE r4 #5). Returns the run object or None."""
+    any other init failure (bad project, auth, broken transitive import of
+    an INSTALLED package) -> one stderr warning before degrading, so
+    misconfiguration doesn't silently discard metrics (ADVICE r4 #5).
+    Returns the run object or None."""
+    import importlib.util
     import sys
 
     try:
         return ctor()
-    except ImportError:
+    except ImportError as e:
+        mod = {"comet": "comet_ml"}.get(backend, backend)
+        if importlib.util.find_spec(mod) is None:
+            return None  # genuinely not installed — the intended no-op
+        print(f"[rl4co-tpu] {backend} is installed but failed to import "
+              f"({e}); continuing without {backend} logging", file=sys.stderr)
         return None
     except Exception as e:  # noqa: BLE001 — degrade, but say so
         print(f"[rl4co-tpu] {backend} logger init failed ({type(e).__name__}: "

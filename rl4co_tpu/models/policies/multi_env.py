@@ -135,6 +135,11 @@ class MultiEnvMoEPolicy(MultiEnvAttentionPolicy):
     moe_topk: int = 2
 
     def setup(self):
+        # NOTE super().setup() also constructs the dense encoder_net module
+        # object; it is never CALLED here (_encode_trunk overrides it), so
+        # flax never creates its params — touching policy.encoder_net on an
+        # MoE policy fails loudly with a missing-param error rather than
+        # silently running an untrained trunk.
         super().setup()
         from rl4co_tpu.models.zoo.mvmoe import MoEAttentionLayer
 

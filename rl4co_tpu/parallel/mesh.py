@@ -125,8 +125,13 @@ def shard_params_model_axis(params, mesh: Mesh, min_dim: int = 128,
     m = mesh.shape["model"]
     lookup = None
     if roles is not None:
-        lookup = roles if isinstance(roles, dict) and all(
+        lookup = roles if isinstance(roles, dict) and roles and all(
             isinstance(v, str) for v in roles.values()) else tp_role_lookup(roles)
+        if not lookup:
+            # an empty marker tree (policy without TPDense modules) must not
+            # silently disable row-sharding — fall back to the fragment
+            # match, exactly as if no roles were supplied (r5 review #4)
+            lookup = None
 
     def place(path, x):
         nd = getattr(x, "ndim", 0)

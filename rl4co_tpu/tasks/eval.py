@@ -71,6 +71,7 @@ def evaluate_policy(
     return_actions: bool = False,
     check_solutions: bool = False,
     progress: Optional[Callable[[int, int], None]] = None,
+    warmup: bool = True,
     **method_overrides,
 ) -> dict:
     """Evaluate ``policy`` on ``instances``; returns per-instance best rewards.
@@ -182,8 +183,10 @@ def evaluate_policy(
         # (VERDICT r3 weak #5: first-call compile was landing in the timing
         # fields). One batch of the same padded shape runs and is
         # discarded; its wall time is reported separately as `warmup_s`.
-        # A (shapes, spec) signature seen before in this process means the
-        # jit cache is already hot — skip the extra rollout (ADVICE r4 #4).
+        # NOTE `run_batch` is a fresh jit closure per evaluate_policy call,
+        # so a process-level "already warm" cache is a false premise (the
+        # retrace would land in the timed region — r5 review finding #1);
+        # callers that genuinely don't need timing pass warmup=False.
         def _warm_rows(x):
             x = jnp.asarray(x[:batch_size])
             if x.shape[0] < batch_size:  # tile up for tiny instance sets
@@ -191,17 +194,13 @@ def evaluate_policy(
                 x = jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:batch_size]
             return x
 
-        sig = (env.name, method, batch_size, s, a, repeats,
-               tuple(sorted((k, tuple(np.shape(v)[1:]))
-                            for k, v in instances.items())))
         warmup_s = 0.0
-        if sig not in _WARMED_SIGS:
+        if warmup:
             warm = jax.tree_util.tree_map(_warm_rows, instances)
             t_warm = time.perf_counter()
             r_warm = run_batch(params, warm, jax.random.fold_in(key, 0))[0]
             np.asarray(r_warm)  # fetch: on axon block_until_ready no-ops
             warmup_s = time.perf_counter() - t_warm
-            _WARMED_SIGS.add(sig)
 
         t0 = time.perf_counter()
         for start in range(0, n - batch_size + 1, batch_size):
@@ -267,10 +266,6 @@ def evaluate_policy(
         res["actions"] = np.concatenate(actions)
     return res
 
-
-# (shapes, spec) signatures whose jit is already compiled in this process —
-# lets repeated evaluate_policy calls skip the warm-up rollout (ADVICE r4 #4)
-_WARMED_SIGS: set = set()
 
 
 def _is_device_oom(e: Exception) -> bool:

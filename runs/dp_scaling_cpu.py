@@ -47,6 +47,9 @@ def run_nprocs(nprocs: int) -> dict:
     env["PALLAS_AXON_POOL_IPS"] = ""  # never dial the TPU tunnel from here
     with tempfile.TemporaryDirectory() as td:
         outs = [os.path.join(td, f"rank{i}.json") for i in range(nprocs)]
+        # stderr to files, not pipes: a rank whose pipe fills would block
+        # inside a collective and deadlock the whole run (r5 review #10)
+        errs = [open(os.path.join(td, f"rank{i}.err"), "w+") for i in range(nprocs)]
         procs = [
             subprocess.Popen(
                 # pin each rank to one core (weak scaling needs one compute
@@ -55,13 +58,16 @@ def run_nprocs(nprocs: int) -> dict:
                 ["taskset", "-c", str(i % CORES), sys.executable, CHILD,
                  str(i), str(nprocs), str(port),
                  outs[i], str(N_STEPS), str(PER_DEVICE_BATCH * nprocs)],
-                env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+                env=env, stdout=subprocess.DEVNULL, stderr=errs[i],
                 text=True,
             )
             for i in range(nprocs)
         ]
-        for p in procs:
-            _, err = p.communicate(timeout=600)
+        for p, ef in zip(procs, errs):
+            p.wait(timeout=600)
+            ef.seek(0)
+            err = ef.read()
+            ef.close()
             assert p.returncode == 0, err[-2000:]
         results = [json.load(open(o)) for o in outs]
     # steady state: drop step 0 (compile); a rank's wall is its own fetch

@@ -69,6 +69,10 @@ def main():
     if moe is not None and all("mixed_moe_gap_pct" in r for r in rows):
         recovered = all(r["moe_delta_vs_single_pp"] <= 0.5 for r in rows)
         improved = all(r["mixed_moe_gap_pct"] < r["mixed_gap_pct"] for r in rows)
+        moe_epochs = moe["epochs_trained"]
+        ctl_epochs = min(docs[c]["epochs_trained"]
+                         for c in ("op20_single", "pctsp20_single"))
+        budget_ok = moe_epochs >= ctl_epochs
         moe_conclusion = (
             ("MoE capacity routing recovers the specialist gap" if recovered
              else "MoE trunk narrows but does not close the specialist gap"
@@ -76,6 +80,14 @@ def main():
              "MoE trunk does not improve on the dense shared trunk here")
             + " (MVMoE-style trunk, same budget; VERDICT r4 #5 remedy)"
         )
+        if not budget_ok:
+            # under-trained MoE vs fully-trained specialists is not a
+            # verdict (r5 review #6) — flag instead of concluding
+            moe_conclusion = (
+                f"INCONCLUSIVE — MoE run stopped at {moe_epochs} epochs vs "
+                f"controls' {ctl_epochs}; gaps reported but not a fair "
+                "remedy verdict"
+            )
     out = {
         "rows": rows,
         "budget_note": ("mixed trains 640k samples/epoch split across two "

@@ -29,25 +29,34 @@ def main():
     for b in BATCHES:
         env = os.environ.copy()
         env["RL4CO_BENCH_TRAIN_BATCH"] = str(b)
-        # keep dispatches small: 2 x 125 fused steps is plenty of signal
-        proc = subprocess.run(
-            [sys.executable, os.path.join(ROOT, "bench.py"),
-             "--phase", "train"],
-            capture_output=True, text=True, timeout=560, env=env,
-        )
         row = {"train_batch": b}
-        if proc.returncode == 0:
-            for line in reversed(proc.stdout.strip().splitlines()):
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue
-                if "rate" in obj:
-                    row["env_steps_per_s"] = round(obj["rate"], 1)
-                    row.update(obj.get("extra", {}))
-                    break
-        else:
-            row["error"] = (proc.stderr or "").strip().splitlines()[-1:]
+        stdout = ""
+        # keep dispatches small: 2 x 125 fused steps is plenty of signal;
+        # one slow compile must not abort the whole sweep (r5 review #3)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py"),
+                 "--phase", "train"],
+                capture_output=True, text=True, timeout=560, env=env,
+            )
+            stdout = proc.stdout or ""
+            if proc.returncode != 0:
+                row["error"] = (proc.stderr or "").strip().splitlines()[-1:]
+        except subprocess.TimeoutExpired as e:
+            raw = e.stdout or b""
+            stdout = (raw.decode(errors="replace")
+                      if isinstance(raw, bytes) else raw)
+            row["error"] = "timeout (560s) — compile window"
+        for line in reversed(stdout.strip().splitlines()):
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if "rate" in obj:
+                row["env_steps_per_s"] = round(obj["rate"], 1)
+                row.update(obj.get("extra", {}))
+                row.pop("error", None)
+                break
         rows.append(row)
         print(json.dumps(row), flush=True)
     base = next((r for r in rows

@@ -374,6 +374,22 @@ def main():
     }
     if "mfu_vs_v5e_bf16_peak" in train_extra:
         out["mfu"] = train_extra["mfu_vs_v5e_bf16_peak"]
+    out["train_batch"] = TRAIN_BATCH  # the reference-recipe point (512)
+    # Attach the measured batch-scaling rows when available (the batch-512
+    # step is latency-bound, runs/ROOFLINE.md; larger batches measure chip
+    # throughput headroom on the SAME program — runs/train_batch_scaling.py)
+    scaling_path = os.path.join(_REPO, "runs", "train_batch_scaling.json")
+    try:
+        with open(scaling_path) as f:
+            scaling = json.load(f)
+        out["train_batch_scaling"] = [
+            {k: r[k] for k in
+             ("train_batch", "env_steps_per_s", "vs_baseline_estimate",
+              "mfu_vs_v5e_bf16_peak") if k in r}
+            for r in scaling.get("rows", [])
+        ]
+    except (OSError, ValueError):
+        pass
     if train_note:
         out["train_note"] = train_note
     if rollout_note:
